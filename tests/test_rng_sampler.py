@@ -1,0 +1,89 @@
+"""RNG + sampler statistical tests."""
+
+import numpy as np
+import jax.numpy as jnp
+
+from buas_pathtracer_tpu.core import rng, sampler
+
+
+def test_wang_hash_scalar_matches_known():
+    # wang_hash is a fixed integer recipe; check determinism + mixing
+    a = int(rng.wang_hash(jnp.uint32(1)))
+    b = int(rng.wang_hash(jnp.uint32(2)))
+    assert a != b
+    assert int(rng.wang_hash(jnp.uint32(1))) == a
+
+
+def test_unilateral_range_and_mean():
+    state = rng.seed_state(jnp.arange(1 << 14, dtype=jnp.uint32))
+    acc = []
+    for _ in range(4):
+        state, u = rng.next_unilateral(state)
+        acc.append(np.asarray(u))
+    u = np.concatenate(acc)
+    assert u.min() >= 0.0 and u.max() < 1.0
+    assert abs(u.mean() - 0.5) < 5e-3
+    assert abs(u.var() - 1.0 / 12.0) < 5e-3
+
+
+def test_seed_decorrelation():
+    s1 = rng.seed_state(jnp.uint32(1))
+    s2 = rng.seed_state(jnp.uint32(2))
+    _, u1 = rng.next_unilateral(s1)
+    _, u2 = rng.next_unilateral(s2)
+    assert abs(float(u1) - float(u2)) > 1e-6
+
+
+def _draw_grid(strategy, n_samples=64, dim=sampler.SampleDimension.AA):
+    s = sampler.make_sampler(
+        jnp.zeros(1, jnp.uint32), jnp.zeros(1, jnp.uint32), jnp.uint32(0)
+    )
+    us, vs = [], []
+    for i in range(n_samples):
+        s = s._replace(sample_index=jnp.uint32(i))
+        s, u, v = sampler.sample_2d(s, strategy, dim, jnp.int32(0))
+        us.append(float(u[0]))
+        vs.append(float(v[0]))
+    return np.array(us), np.array(vs)
+
+
+def test_stratified_covers_strata():
+    u, v = _draw_grid(sampler.Strategy.STRATIFIED)
+    # 64 samples must land in all 64 strata of the 8x8 grid exactly once
+    sx = np.floor(u * 8).astype(int)
+    sy = np.floor(v * 8).astype(int)
+    cells = set(zip(sx.tolist(), sy.tolist()))
+    assert len(cells) == 64
+
+
+def test_sobol_owen_stratification():
+    u, v = _draw_grid(sampler.Strategy.BLUE_NOISE)
+    assert u.min() >= 0.0 and u.max() < 1.0
+    # first 64 Owen-scrambled Sobol' points: 8x8 elementary intervals each hit once
+    sx = np.floor(u * 8).astype(int)
+    sy = np.floor(v * 8).astype(int)
+    cells = set(zip(sx.tolist(), sy.tolist()))
+    assert len(cells) == 64
+
+
+def test_deep_bounce_is_white_noise_and_in_range():
+    s = sampler.make_sampler(
+        jnp.arange(128, dtype=jnp.uint32), jnp.zeros(128, jnp.uint32), jnp.uint32(3)
+    )
+    s, u, v = sampler.sample_2d(
+        s, sampler.Strategy.STRATIFIED, sampler.SampleDimension.INDIRECT_LIGHTING, jnp.int32(3)
+    )
+    u = np.asarray(u)
+    assert u.min() >= 0 and u.max() < 1
+    assert u.std() > 0.1
+
+
+def test_pixel_decorrelation_stratified():
+    xs = jnp.arange(256, dtype=jnp.uint32)
+    s = sampler.make_sampler(xs, xs * 7 + 3, jnp.uint32(5))
+    s, u, _ = sampler.sample_2d(
+        s, sampler.Strategy.STRATIFIED, sampler.SampleDimension.AA, jnp.int32(0)
+    )
+    u = np.asarray(u)
+    # different pixels see different strata for the same sample index
+    assert len(np.unique(np.floor(u * 64))) > 16
