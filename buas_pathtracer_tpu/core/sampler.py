@@ -137,7 +137,7 @@ def _u32_to_unit_float(x):
 
 def sobol_owen_2d(sample_index, pixel_hash, dimension: int):
     """Owen-scrambled, Owen-shuffled 2-D Sobol' point for a pixel/dim pair."""
-    dim_key = jnp.uint32(0x9E3779B9 * (2 * dimension + 1))
+    dim_key = jnp.uint32((0x9E3779B9 * (2 * dimension + 1)) & 0xFFFFFFFF)
     seed = rng.hash_u32(pixel_hash, dim_key)
     shuffled = _nested_uniform_scramble(jnp.asarray(sample_index, U32), rng.hash_u32(seed, jnp.uint32(0xA511E9B3)))
     sx, sy = _sobol_2d(shuffled)

@@ -145,8 +145,12 @@ def noz(a: Vec3) -> Vec3:
     """Normalize-or-zero (reference ``my_math.h`` noz): degenerate -> 0."""
     lsq = dot(a, a)
     ok = (lsq > 1e-24) & jnp.isfinite(lsq)
-    inv = jnp.where(ok, jax.lax.rsqrt(jnp.where(ok, lsq, 1.0)), 0.0)
-    return a * inv
+    inv = jax.lax.rsqrt(jnp.where(ok, lsq, 1.0))
+
+    def comp(c):
+        return jnp.where(ok, c * inv, 0.0)
+
+    return Vec3(comp(a.x), comp(a.y), comp(a.z))
 
 
 def lerp(a, b, t):
