@@ -1,0 +1,236 @@
+"""Advanced Pathtracer — the flagship integrator, wavefront form.
+
+Port of the reference's advanced_integrator (integrators.cpp:581-821) with
+every feature: nested-dielectric material stack with air at the bottom
+(:597-613), Beer's-law absorption in participating media (:640-649), Fresnel
+dielectric reflect/refract (:672-717), metallic reflectance lerp + tinted
+reflection (:680,696), roughness fuzz (:691-693), lambertian BRDF (:732),
+NEE with uniform/importance light picking (:738-771), MIS by pdf addition on
+both the NEE side (:755-768) and the emissive-hit side (:660-669), caustics
+toggle via specular-path acceptance (:651-670), cosine-weighted or uniform
+hemisphere indirect sampling (:777-789), and Russian roulette on
+clamp(max3(throughput), 0.1, 0.9) skipping specular bounces (:801-811).
+
+Wavefront design: ray state is SoA ``(N,)`` arrays advanced one bounce per
+``lax.while_loop`` iteration under a live mask.  The 64-deep pointer stack
+becomes a fixed-depth ``(N, STACK_DEPTH)`` array of material indices with a
+per-ray top pointer — pushes are masked one-hot writes, pops are pointer
+decrements.  Settings booleans are jit-static, so disabled features compile
+to nothing.
+"""
+
+from __future__ import annotations
+
+import jax
+import jax.numpy as jnp
+
+from ..core import rng
+from ..core import sampler as smp
+from ..core.vec import (EPSILON, PI, Vec3, dot, exp as vexp, full_like, lerp,
+                        max3, normalize, reflect, v3, where as vwhere, zeros)
+from ..models.scene import PackedScene, SceneSettings
+from ..ops import traverse
+from ..ops.shading import (fresnel_dielectric, map_to_cosine_weighted_hemisphere,
+                           map_to_hemisphere, refract, sample_on_unit_sphere)
+from .common import (evaluate_material, pick_random_light,
+                     random_point_on_light, sample_sky)
+
+STACK_DEPTH = 8  # reference uses 64 (integrators.cpp:602); 8 covers any sane
+                 # nesting at 1/8 the state memory per ray
+
+
+def _gv(v: Vec3, i) -> Vec3:
+    return Vec3(v.x[i], v.y[i], v.z[i])
+
+
+def advanced(ps: PackedScene, settings: SceneSettings, sampler: smp.Sampler,
+             ray_o: Vec3, ray_d: Vec3, n_lights: int = 0):
+    """Returns (color: Vec3, sampler)."""
+    n = ray_o.shape
+    max_bounces = int(settings.max_bounce_count)
+    strategy = int(settings.sampling_strategy)
+    nee = bool(settings.next_event_estimation) and n_lights > 0
+    use_mis = bool(settings.use_mis)
+    is_lights = bool(settings.importance_sample_lights)
+    is_diffuse = bool(settings.importance_sample_diffuse)
+    rr = bool(settings.russian_roulette)
+    caustics = bool(settings.caustics)
+
+    lane = jnp.arange(STACK_DEPTH, dtype=jnp.int32)
+
+    def cond(st):
+        bounce, alive = st[0], st[1]
+        return (bounce < max_bounces) & jnp.any(alive)
+
+    def body(st):
+        (bounce, alive, o, d, throughput, total, s,
+         stack, stack_at, is_specular, prev_n) = st
+
+        hit = traverse.intersect_scene(ps, o, d)
+        found = hit.valid & alive
+        missed = ~hit.valid & alive
+
+        # ---- miss: sky, terminate (integrators.cpp:813-816) ----
+        sky = sample_sky(ps, d)
+        total = vwhere(missed, total + throughput * sky, total)
+
+        # ---- orientation + stack-relative materials (:617-638) ----
+        cos_i0 = -dot(d, hit.n)
+        inside = cos_i0 < 0.0
+        N = vwhere(inside, -hit.n, hit.n)
+        cos_theta_i = jnp.abs(cos_i0)
+
+        surf_mat = hit.mat_id
+        top = jnp.take_along_axis(stack, stack_at[..., None], axis=-1)[..., 0]
+        below = jnp.take_along_axis(
+            stack, jnp.maximum(stack_at - 1, 0)[..., None], axis=-1)[..., 0]
+        mat_i = jnp.where(inside, surf_mat, top)
+        mat_t = jnp.where(inside, below, surf_mat)
+
+        # ---- Beer's law through the incident medium (:640-649) ----
+        absorb = _gv(ps.mat_absorb, mat_i)
+        beer = vexp(absorb * (-hit.t))
+        i_is_medium = ps.mat_is_medium[mat_i]
+        throughput = vwhere(found & i_is_medium, throughput * beer, throughput)
+
+        # ---- emissive hit: direct or MIS-weighted, then terminate (:651-670)
+        t_emissive = (ps.mat_flags[mat_t] & 0x4) != 0
+        emit = _gv(ps.mat_emission, mat_t)
+        if not nee:
+            allow_direct = jnp.ones(n, bool)
+        elif caustics:
+            allow_direct = is_specular
+        else:
+            allow_direct = ((bounce < 2) & is_specular)
+        hit_emissive = found & t_emissive
+        total = vwhere(hit_emissive & allow_direct,
+                       total + throughput * emit, total)
+        if nee and use_mis:
+            light_pdf = hit.t * hit.t / jnp.maximum(cos_theta_i, 1e-8)
+            brdf_pdf = (dot(prev_n, d) / PI) if is_diffuse else (1.0 / (2.0 * PI))
+            mis_pdf = jnp.maximum(light_pdf + brdf_pdf, 1e-30)
+            mis_case = hit_emissive & ~allow_direct & (bounce > 0)
+            total = vwhere(mis_case, total + throughput * emit * (1.0 / mis_pdf), total)
+
+        # ---- fresnel split (:672-684) ----
+        eta_i = ps.mat_ior[mat_i]
+        eta_t = jnp.maximum(ps.mat_ior[mat_t], 1e-6)
+        eta_ratio = eta_i / eta_t
+        reflectance, cos_theta_t = fresnel_dielectric(cos_theta_i, eta_i, eta_t, eta_ratio)
+        metallic = ps.mat_metallic[mat_t]
+        reflectance = lerp(reflectance, 1.0, metallic)
+
+        s, reflect_test = smp.sample_1d(s, strategy, smp.SampleDimension.REFLECTANCE, bounce)
+        do_reflect = reflect_test < reflectance
+
+        # ---- reflect branch (:686-700) ----
+        refl_d = reflect(d, N)
+        state, u1 = rng.next_unilateral(s.state)
+        state, u2 = rng.next_unilateral(state)
+        state, u3 = rng.next_unilateral(state)
+        s = s._replace(state=state)
+        fuzz = sample_on_unit_sphere(u1, u2) * jnp.cbrt(u3)
+        roughness = ps.mat_roughness[mat_t]
+        rough_d = normalize(refl_d * (1.0 + EPSILON) + fuzz * roughness)
+        refl_d = vwhere(roughness > 0.0, rough_d, refl_d)
+        refl_o = hit.p + refl_d * EPSILON
+        albedo_t = _gv(ps.mat_albedo, mat_t)
+        refl_tint = lerp(v3(1.0), albedo_t, metallic)
+
+        # ---- refract branch (nested dielectrics, :702-723) ----
+        t_is_medium = ps.mat_is_medium[mat_t]
+        do_refract = ~do_reflect & t_is_medium
+        refr_d = refract(d, N, cos_theta_i, cos_theta_t, eta_ratio)
+        refr_o = hit.p + refr_d * EPSILON
+        # pop when leaving (inside hit), push when entering
+        pop = do_refract & found & inside & (stack_at > 0)
+        push = do_refract & found & ~inside & (stack_at < STACK_DEPTH - 1)
+        new_at = stack_at + push.astype(jnp.int32) - pop.astype(jnp.int32)
+        write = push[..., None] & (lane[None, :] == new_at[..., None])
+        stack = jnp.where(write, mat_t[..., None], stack)
+        stack_at = new_at
+
+        # ---- diffuse branch (:725-795) ----
+        do_diffuse = ~do_reflect & ~t_is_medium
+        albedo = evaluate_material(ps, mat_t, hit.p)
+        brdf = albedo * (1.0 / PI)
+
+        nee_add = zeros(n)
+        if nee:
+            s, lp_u = smp.sample_1d(s, strategy, smp.SampleDimension.LIGHT_SELECTION, bounce)
+            light_idx, light_rcp_pdf = pick_random_light(ps, lp_u, hit.p, is_lights)
+            s, dl_u, dl_v = smp.sample_2d(s, strategy, smp.SampleDimension.DIRECT_LIGHTING, bounce)
+            ls = random_point_on_light(ps, light_idx, dl_u, dl_v, hit.p)
+            n_dot_l = dot(N, ls.L)
+            nl_dot_l = -dot(ls.Nl, ls.L)
+            facing = (n_dot_l > 0.0) & (nl_dot_l > 0.0) & do_diffuse & found & ~t_emissive
+            shadow_o = hit.p + ls.L * EPSILON
+            occluded = traverse.intersect_shadow_ray(
+                ps, shadow_o, ls.L, ls.dist - 2.0 * EPSILON, light_idx)
+            visible = facing & ~occluded
+            solid_angle = (nl_dot_l * ls.A) / jnp.maximum(ls.dist_sq, 1e-12)
+            if use_mis:
+                brdf_pdf = (n_dot_l / PI) if is_diffuse else (1.0 / (2.0 * PI))
+                pdf = 1.0 / jnp.maximum(solid_angle, 1e-12) + brdf_pdf
+            else:
+                pdf = 1.0 / jnp.maximum(solid_angle, 1e-12)
+            pdf = pdf * light_rcp_pdf
+            lmat = ps.prim_mat[light_idx]
+            lemit = _gv(ps.mat_emission, lmat)
+            contrib = throughput * brdf * lemit * (n_dot_l / jnp.maximum(pdf, 1e-30))
+            nee_add = vwhere(visible, contrib, nee_add)
+        total = total + nee_add
+
+        # indirect bounce (:777-795)
+        s, il_u, il_v = smp.sample_2d(s, strategy, smp.SampleDimension.INDIRECT_LIGHTING, bounce)
+        if is_diffuse:
+            R = map_to_cosine_weighted_hemisphere(N, il_u, il_v)
+            diff_tp_scale = full_like(throughput, PI)
+        else:
+            R = map_to_hemisphere(N, il_u, il_v)
+            c = 2.0 * PI * dot(N, R)
+            diff_tp_scale = Vec3(c, c, c)
+        diff_o = hit.p + N * EPSILON
+
+        # ---- merge branches ----
+        new_specular = jnp.where(do_diffuse, False, True)
+        new_d = vwhere(do_reflect, refl_d, vwhere(do_refract, refr_d, R))
+        new_o = vwhere(do_reflect, refl_o, vwhere(do_refract, refr_o, diff_o))
+        tp_mult = vwhere(do_reflect, refl_tint,
+                         vwhere(do_refract, v3(1.0), diff_tp_scale * brdf))
+        cont = found & ~t_emissive
+        throughput = vwhere(cont, throughput * tp_mult, throughput)
+
+        # ---- russian roulette (:801-811) ----
+        if rr:
+            p = jnp.clip(max3(throughput), 0.1, 0.9)
+            s, rr_u = smp.sample_1d(s, strategy, smp.SampleDimension.ROULETTE, bounce)
+            kill = cont & ~new_specular & (rr_u > p)
+            boost = cont & ~new_specular & ~kill
+            inv_p = 1.0 / p
+            throughput = vwhere(boost, throughput * inv_p, throughput)
+            cont = cont & ~kill
+
+        o = vwhere(cont, new_o, o)
+        d = vwhere(cont, new_d, d)
+        prev_n = vwhere(cont, N, prev_n)
+        is_specular = jnp.where(cont, new_specular, is_specular)
+        return (bounce + 1, cont, o, d, throughput, total, s,
+                stack, stack_at, is_specular, prev_n)
+
+    st0 = (
+        jnp.zeros((), jnp.int32),
+        jnp.ones(n, bool),
+        ray_o, ray_d,
+        full_like(ray_o, 1.0),
+        zeros(n),
+        sampler,
+        jnp.zeros(n + (STACK_DEPTH,), jnp.int32),  # material 0 == air
+        jnp.zeros(n, jnp.int32),
+        jnp.ones(n, bool),  # is_specular_bounce starts true (:615)
+        zeros(n),
+    )
+    out = jax.lax.while_loop(cond, body, st0)
+    total = out[5]
+    s = out[6]
+    return total, s

@@ -1,0 +1,125 @@
+"""Shared integrator pieces: sky, material evaluation, light sampling, NEE.
+
+Ports the reference helpers that every integrator shares:
+  sample_sky           integrators.cpp:272-295
+  evaluate_material    integrators.cpp:297-308
+  pick_random_light    integrators.cpp:135-192 (uniform + importance by
+                       max3(emission) * projected solid angle with an
+                       on-the-fly CDF; vectorized over rays x lights)
+  random_point_on_light integrators.cpp:199-228 (visible-hemisphere point on
+                       a sphere light, area 2*pi*r^2)
+All functions are batched over rays.
+"""
+
+from __future__ import annotations
+
+from typing import NamedTuple
+
+import jax.numpy as jnp
+
+from ..core.vec import PI, Vec3, dot, length_sq, max3, normalize, v3, where as vwhere
+from ..models.scene import PackedScene, PRIM_SPHERE
+from ..ops import envmap
+from ..ops.shading import evaluate_checker, map_to_hemisphere, sample_sky_gradient
+
+
+def has_env(ps: PackedScene) -> bool:
+    """Static: was an environment map packed? (1x1 placeholder = no)."""
+    return ps.env_pixels.shape[0] > 1 or ps.env_pixels.shape[1] > 1
+
+
+def sample_sky(ps: PackedScene, ray_d: Vec3) -> Vec3:
+    """integrators.cpp:272-295: equirect skydome lookup, else gradient."""
+    if has_env(ps):
+        return envmap.lookup_env(ps.env_pixels, ray_d)
+    return sample_sky_gradient(ray_d, ps.sky_bot, ps.sky_top)
+
+
+def evaluate_material(ps: PackedScene, mat_id, hit_p: Vec3) -> Vec3:
+    """Albedo with the 4x4 world-XZ checker (integrators.cpp:297-308)."""
+    albedo = _gmat(ps.mat_albedo, mat_id)
+    checker = _gmat(ps.mat_checker, mat_id)
+    use_checker = (ps.mat_flags[mat_id] & 0x2) != 0
+    return evaluate_checker(albedo, checker, use_checker, hit_p)
+
+
+def _gmat(v: Vec3, i) -> Vec3:
+    return Vec3(v.x[i], v.y[i], v.z[i])
+
+
+def light_translation(ps: PackedScene, prim_idx) -> Vec3:
+    """translation(transform->forward): column 3 of the gathered (3,4)."""
+    m = ps.prim_fwd[prim_idx]
+    return Vec3(m[..., 3], m[..., 7], m[..., 11])
+
+
+def projected_solid_angle_sphere(r, distance_sq):
+    """integrators.cpp:124-133 (sphere case; other types contribute 0)."""
+    return PI * r * r / distance_sq
+
+
+def pick_random_light(ps: PackedScene, u, I: Vec3, importance: bool):
+    """Returns (light_prim_idx (N,), rcp_pdf (N,)).
+
+    Uniform: rcp_pdf = 1/L, index = floor(u * L - eps)
+    Importance: CDF of max3(emission) * projected solid angle per light;
+    rcp_pdf = pdf_i / sum (the reference's exact convention,
+    integrators.cpp:150-177)."""
+    lp = ps.light_prim  # (L,)
+    L = int(lp.shape[0])
+    if not importance or L == 1:
+        idx = jnp.clip((u * L - 1e-3).astype(jnp.int32), 0, L - 1)
+        return lp[idx], jnp.full_like(u, 1.0 / L)
+
+    # (N, L): vector from shade point to each light center
+    cx = ps.prim_fwd[lp, 3]
+    cy = ps.prim_fwd[lp, 7]
+    cz = ps.prim_fwd[lp, 11]
+    vx = cx[None, :] - I.x[..., None]
+    vy = cy[None, :] - I.y[..., None]
+    vz = cz[None, :] - I.z[..., None]
+    dist_sq = vx * vx + vy * vy + vz * vz
+    emis = ps.mat_emission
+    lmat = ps.prim_mat[lp]
+    lmax = jnp.maximum(emis.x[lmat], jnp.maximum(emis.y[lmat], emis.z[lmat]))
+    r = ps.prim_r[lp]
+    is_sph = (ps.prim_type[lp] == PRIM_SPHERE).astype(jnp.float32)
+    pdfs = lmax[None, :] * is_sph[None, :] * PI * r[None, :] ** 2 / jnp.maximum(dist_sq, 1e-12)
+    cdf = jnp.cumsum(pdfs, axis=-1)
+    total = cdf[..., -1]
+    e = total * u
+    idx = jnp.clip(jnp.sum((cdf < e[..., None]).astype(jnp.int32), axis=-1), 0, L - 1)
+    pdf_sel = jnp.take_along_axis(pdfs, idx[..., None], axis=-1)[..., 0]
+    rcp_pdf = pdf_sel / jnp.maximum(total, 1e-30)
+    return lp[idx], rcp_pdf
+
+
+class LightSample(NamedTuple):
+    L: Vec3  # unit direction to the sampled point
+    Nl: Vec3  # light-surface normal at the point
+    dist: jnp.ndarray
+    dist_sq: jnp.ndarray
+    A: jnp.ndarray  # sampled area (2 pi r^2, visible hemisphere)
+
+
+def random_point_on_light(ps: PackedScene, light_idx, u, v, I: Vec3) -> LightSample:
+    """integrators.cpp:199-228 (sphere lights)."""
+    light_p = light_translation(ps, light_idx)
+    towards_light = normalize(light_p - I)
+    r = ps.prim_r[light_idx]
+
+    nl = map_to_hemisphere(-towards_light, u, v)
+    p_local = nl * r
+    # p_world = forward * p_local (gathered affine rows)
+    m = ps.prim_fwd[light_idx]
+    p_world = Vec3(
+        m[..., 0] * p_local.x + m[..., 1] * p_local.y + m[..., 2] * p_local.z + m[..., 3],
+        m[..., 4] * p_local.x + m[..., 5] * p_local.y + m[..., 6] * p_local.z + m[..., 7],
+        m[..., 8] * p_local.x + m[..., 9] * p_local.y + m[..., 10] * p_local.z + m[..., 11],
+    )
+    Lv = p_world - I
+    dist_sq = length_sq(Lv)
+    dist = jnp.sqrt(dist_sq)
+    Ldir = Lv / jnp.maximum(dist, 1e-30)
+    A = 2.0 * PI * r * r
+    return LightSample(Ldir, nl, dist, dist_sq, A)

@@ -1,0 +1,374 @@
+"""Scene model: host-side construction API + packing to device arrays.
+
+Mirrors the reference scene API surface (scene.h:134-149, scene.cpp:9-242):
+``add_material`` / ``add_diffuse_material`` / ``add_translucent_material`` /
+``add_emissive_material``, ``add_plane`` / ``add_sphere`` / ``add_box`` /
+``add_mesh`` with optional forward/inverse transform pairs, automatic light
+registration for emissive primitives (scene.cpp:92-96), planes kept out of the
+BVH in their own array (scene.h:116), and ``create_scene_bvh`` building a
+binned-SAH TLAS over world AABBs obtained by transforming all 8 object-AABB
+corners (scene.cpp:224-236).
+
+TPU-first packing: ``Scene.pack()`` lowers the whole scene to ``PackedScene``,
+a pytree of SoA jnp arrays (materials, primitives, planes, lights, global
+leaf-ordered triangle arrays, and ONE threaded skip-link BVH containing the
+TLAS with every mesh-instance subtree grafted in — see ops/bvh.py).  The hot
+traversal loop then runs in lockstep over ray batches with pure gathers.
+"""
+
+from __future__ import annotations
+
+from dataclasses import dataclass, field, replace
+from typing import List, NamedTuple, Optional
+
+import jax.numpy as jnp
+import numpy as np
+
+from ..core import vec
+from ..core.sampler import Strategy
+from ..core.vec import Affine, Vec3
+from ..ops import bvh as bvh_mod
+from . import materials as mat_mod
+from .camera import Camera, make_camera
+from .mesh import Mesh
+
+# primitive type codes (primitives.h:3-10)
+PRIM_NONE = 0
+PRIM_PLANE = 1
+PRIM_SPHERE = 2
+PRIM_BOX = 3
+PRIM_MESH = 4
+PRIM_CSG = 5
+
+
+@dataclass(frozen=True)
+class SceneSettings:
+    """scene.h:64-82.  Frozen + hashable so it can be a jit static arg; the
+    commit-at-frame-boundary protocol (render_all_tiles raytracer.cpp:700-724)
+    lives in runtime/progressive.py."""
+
+    next_event_estimation: bool = True
+    importance_sample_lights: bool = True
+    importance_sample_diffuse: bool = True
+    use_mis: bool = True
+    russian_roulette: bool = True
+    caustics: bool = True
+    sampling_strategy: int = Strategy.STRATIFIED
+    vignette_strength: float = 1.0
+    lens_distortion: float = 0.0
+    f_factor: float = 0.0
+    diaphragm_edges: float = 6.0
+    phi_shutter_max: float = 0.4
+    samples_per_pixel: int = 1
+    max_bounce_count: int = 12
+    integrator: str = "Advanced Pathtracer"
+
+
+@dataclass(frozen=True)
+class PostProcessSettings:
+    """scene.h:84-90 + defaults from init_scene (raytracer.cpp:1444-1451)."""
+
+    exposure: float = 0.0
+    tonemapping: bool = True
+    srgb_transform: bool = True
+    midpoint: float = 0.5
+    contrast: float = 0.0
+    dither: bool = True
+
+
+class PackedScene(NamedTuple):
+    """Device-resident scene. All fields are jnp arrays (pytree leaves);
+    zero-size categories are padded to length >=1 and masked by the static
+    counts carried in the threaded BVH / caller-side Python ints."""
+
+    # materials, SoA over M entries (index 0 reserved: "air", ior=1, medium)
+    mat_flags: jnp.ndarray  # (M,) uint32
+    mat_albedo: Vec3
+    mat_checker: Vec3
+    mat_emission: Vec3
+    mat_ior: jnp.ndarray
+    mat_metallic: jnp.ndarray
+    mat_roughness: jnp.ndarray
+    mat_is_medium: jnp.ndarray  # (M,) bool
+    mat_absorb: Vec3
+
+    # planes (P>=1, padded with an unhittable plane)
+    plane_n: Vec3
+    plane_d: jnp.ndarray
+    plane_mat: jnp.ndarray  # (P,) int32
+
+    # non-plane primitives (K>=1)
+    prim_type: jnp.ndarray  # (K,) int32
+    prim_mat: jnp.ndarray  # (K,) int32
+    prim_fwd: jnp.ndarray  # (K,12) row-major (3,4) forward
+    prim_inv: jnp.ndarray  # (K,12) inverse
+    prim_r: jnp.ndarray  # (K,) sphere radius
+    prim_box_r: Vec3  # box half extents
+
+    # lights (L>=1, masked by n_lights)
+    light_prim: jnp.ndarray  # (L,) int32 index into primitives
+
+    # global triangle soup, leaf-ordered per mesh (T>=1)
+    tri_a: Vec3
+    tri_b: Vec3
+    tri_c: Vec3
+    tri_na: Vec3  # per-vertex normals (zero if none)
+    tri_nb: Vec3
+    tri_nc: Vec3
+    tri_has_n: jnp.ndarray  # (T,) bool
+
+    # unified threaded BVH (N>=1)
+    node_lo: Vec3
+    node_hi: Vec3
+    node_miss: jnp.ndarray  # (N,) int32
+    node_kind: jnp.ndarray  # (N,) int32
+    node_first: jnp.ndarray  # (N,) int32
+    node_count: jnp.ndarray  # (N,) int32
+    node_inst: jnp.ndarray  # (N,) int32
+
+    # sky / lighting environment
+    sky_bot: Vec3  # scalars
+    sky_top: Vec3
+    ambient_light: Vec3
+
+    # environment map (equirect), masked by has_env
+    env_pixels: jnp.ndarray  # (He, We, 3) float32 (1x1 zero if none)
+    # env importance-sampling tables (ops/envmap.py); (1,) zeros if none
+    env_cdf_marginal: jnp.ndarray  # (He+1,)
+    env_cdf_conditional: jnp.ndarray  # (He, We+1)
+
+    @property
+    def n_lights(self) -> int:
+        return int(self.light_prim.shape[0])
+
+
+def _affine_or_identity(t: Optional[Affine]) -> Affine:
+    return t if t is not None else vec.identity()
+
+
+@dataclass
+class Scene:
+    """Host-side scene under construction."""
+
+    name: str = "unnamed"
+    camera: Camera = field(default_factory=make_camera)
+    settings: SceneSettings = field(default_factory=SceneSettings)
+    post_settings: PostProcessSettings = field(default_factory=PostProcessSettings)
+    top_sky_color: tuple = (0.0, 0.0, 0.0)
+    bot_sky_color: tuple = (0.0, 0.0, 0.0)
+    ambient_light: tuple = (0.0, 0.0, 0.0)
+    env_map: Optional[np.ndarray] = None  # (H, W, 3) float32 equirect
+
+    materials: List[mat_mod.Material] = field(default_factory=list)
+    planes: List[tuple] = field(default_factory=list)  # (n, d, mat_id)
+    prims: List[dict] = field(default_factory=list)
+    lights: List[int] = field(default_factory=list)
+    meshes: List[Mesh] = field(default_factory=list)
+
+    def __post_init__(self):
+        if not self.materials:
+            # slot 0: air — ior 1, participating, no absorption.  The advanced
+            # integrator's material stack bottoms out here
+            # (integrators.cpp:597-601).
+            self.materials.append(
+                mat_mod.Material(ior=1.0, is_participating_medium=True)
+            )
+
+    # -- materials ----------------------------------------------------------
+    def add_material(self, m: mat_mod.Material) -> int:
+        self.materials.append(m)
+        return len(self.materials) - 1
+
+    def add_diffuse_material(self, albedo, ior, roughness=0.0, checkers=False,
+                             checker_color=(0.1, 0.1, 0.1)) -> int:
+        return self.add_material(
+            mat_mod.diffuse(albedo, ior, roughness, checkers, checker_color))
+
+    def add_translucent_material(self, absorb, ior, roughness=0.0) -> int:
+        return self.add_material(mat_mod.translucent(absorb, ior, roughness))
+
+    def add_emissive_material(self, emission_color) -> int:
+        return self.add_material(mat_mod.emissive(emission_color))
+
+    # -- primitives ---------------------------------------------------------
+    def add_plane(self, mat_id: int, n, d: float) -> int:
+        nn = np.asarray(n, np.float64)
+        nn = nn / np.linalg.norm(nn)
+        self.planes.append((nn.astype(np.float32), float(d), int(mat_id)))
+        return -(len(self.planes))  # planes get negative handles
+
+    def _add_prim(self, ptype, mat_id, transform, **data) -> int:
+        t = _affine_or_identity(transform)
+        self.prims.append(dict(type=ptype, mat=int(mat_id), fwd=t.fwd, inv=t.inv, **data))
+        pid = len(self.prims) - 1
+        # auto light registration (scene.cpp:92-96)
+        if self.materials[mat_id].flags & mat_mod.FLAG_EMISSIVE:
+            self.lights.append(pid)
+        return pid
+
+    def add_sphere(self, mat_id: int, r: float, transform: Optional[Affine] = None) -> int:
+        return self._add_prim(PRIM_SPHERE, mat_id, transform, r=float(r))
+
+    def add_box(self, mat_id: int, r, transform: Optional[Affine] = None) -> int:
+        rr = np.asarray(r, np.float32)
+        if rr.ndim == 0:
+            rr = np.array([rr, rr, rr], np.float32)
+        return self._add_prim(PRIM_BOX, mat_id, transform, box_r=rr)
+
+    def add_mesh(self, mat_id: int, mesh: Mesh, transform: Optional[Affine] = None) -> int:
+        self.meshes.append(mesh)
+        return self._add_prim(PRIM_MESH, mat_id, transform, mesh_id=len(self.meshes) - 1)
+
+    # -- packing ------------------------------------------------------------
+    def pack(self, bvh_method: str = "sah_binned") -> PackedScene:
+        n_mat = len(self.materials)
+        mflags = np.zeros(n_mat, np.uint32)
+        malb = np.zeros((n_mat, 3), np.float32)
+        mchk = np.zeros((n_mat, 3), np.float32)
+        memi = np.zeros((n_mat, 3), np.float32)
+        mior = np.zeros(n_mat, np.float32)
+        mmet = np.zeros(n_mat, np.float32)
+        mrgh = np.zeros(n_mat, np.float32)
+        mmed = np.zeros(n_mat, bool)
+        mabs = np.zeros((n_mat, 3), np.float32)
+        for i, m in enumerate(self.materials):
+            mflags[i] = m.flags
+            malb[i] = m.albedo
+            mchk[i] = m.checker_color
+            memi[i] = m.emission_color
+            mior[i] = m.ior
+            mmet[i] = m.metallic
+            mrgh[i] = m.roughness
+            mmed[i] = m.is_participating_medium
+            mabs[i] = m.absorb
+
+        # planes (padded to >=1 with an unhittable plane: n=+Y, d=-inf-ish)
+        planes = self.planes or [(np.array([0, 1, 0], np.float32), -3.0e38, 0)]
+        pn = np.stack([p[0] for p in planes])
+        pd = np.array([p[1] for p in planes], np.float32)
+        pm = np.array([p[2] for p in planes], np.int32)
+
+        # primitives (padded to >=1 with a null sphere r=0)
+        prims = self.prims or [dict(type=PRIM_NONE, mat=0,
+                                    fwd=vec.identity().fwd, inv=vec.identity().inv)]
+        k = len(prims)
+        ptype = np.array([p["type"] for p in prims], np.int32)
+        pmat = np.array([p["mat"] for p in prims], np.int32)
+        pfwd = np.stack([p["fwd"].reshape(12) for p in prims]).astype(np.float32)
+        pinv = np.stack([p["inv"].reshape(12) for p in prims]).astype(np.float32)
+        pr = np.array([p.get("r", 0.0) for p in prims], np.float32)
+        pboxr = np.stack([p.get("box_r", np.zeros(3, np.float32)) for p in prims]).astype(np.float32)
+        pmesh = np.array([p.get("mesh_id", -1) for p in prims], np.int32)
+
+        # mesh BVHs + global leaf-ordered triangle soup
+        tri_offsets = []
+        tri_v, tri_n, tri_has = [], [], []
+        base = 0
+        for mesh in self.meshes:
+            mesh.build_bvh(bvh_method)
+            tri_offsets.append(base)
+            tri_v.append(np.asarray(mesh.triangles, np.float32))
+            if mesh.has_normals:
+                tri_n.append(np.asarray(mesh.normals, np.float32))
+            else:
+                tri_n.append(np.zeros_like(tri_v[-1]))
+            tri_has.append(np.full(mesh.triangle_count, mesh.has_normals, bool))
+            base += mesh.triangle_count
+        if base == 0:
+            tri_v = [np.zeros((1, 3, 3), np.float32)]
+            tri_n = [np.zeros((1, 3, 3), np.float32)]
+            tri_has = [np.zeros(1, bool)]
+        tv = np.concatenate(tri_v)
+        tn = np.concatenate(tri_n)
+        th = np.concatenate(tri_has)
+
+        # TLAS over world AABBs of real primitives (scene.cpp:173-242)
+        threaded = self._build_threaded(prims, ptype, pfwd, pr, pboxr, pmesh, tri_offsets)
+
+        # lights (padded to >=1, masked by n_lights=0 at trace time: we keep
+        # the true count in the padded-or-not length; an empty list packs one
+        # dummy pointing at prim 0 and integrators get n_lights from the host
+        # Scene via static arg)
+        lights = self.lights or [0]
+
+        # environment map
+        if self.env_map is not None:
+            env = np.ascontiguousarray(np.asarray(self.env_map, np.float32))
+            from ..ops.envmap import build_env_cdf
+            cdf_m, cdf_c = build_env_cdf(env)
+        else:
+            env = np.zeros((1, 1, 3), np.float32)
+            cdf_m = np.zeros(2, np.float32)
+            cdf_c = np.zeros((1, 2), np.float32)
+
+        def V(a):  # (X,3) -> Vec3 of jnp arrays
+            a = jnp.asarray(a)
+            return Vec3(a[..., 0], a[..., 1], a[..., 2])
+
+        def S(c):  # scalar color tuple -> Vec3 of python floats
+            return Vec3(float(c[0]), float(c[1]), float(c[2]))
+
+        return PackedScene(
+            mat_flags=jnp.asarray(mflags),
+            mat_albedo=V(malb), mat_checker=V(mchk), mat_emission=V(memi),
+            mat_ior=jnp.asarray(mior), mat_metallic=jnp.asarray(mmet),
+            mat_roughness=jnp.asarray(mrgh), mat_is_medium=jnp.asarray(mmed),
+            mat_absorb=V(mabs),
+            plane_n=V(pn), plane_d=jnp.asarray(pd), plane_mat=jnp.asarray(pm),
+            prim_type=jnp.asarray(ptype), prim_mat=jnp.asarray(pmat),
+            prim_fwd=jnp.asarray(pfwd), prim_inv=jnp.asarray(pinv),
+            prim_r=jnp.asarray(pr), prim_box_r=V(pboxr),
+            light_prim=jnp.asarray(np.array(lights, np.int32)),
+            tri_a=V(tv[:, 0]), tri_b=V(tv[:, 1]), tri_c=V(tv[:, 2]),
+            tri_na=V(tn[:, 0]), tri_nb=V(tn[:, 1]), tri_nc=V(tn[:, 2]),
+            tri_has_n=jnp.asarray(th),
+            node_lo=V(threaded.lo), node_hi=V(threaded.hi),
+            node_miss=jnp.asarray(threaded.miss),
+            node_kind=jnp.asarray(threaded.kind.astype(np.int32)),
+            node_first=jnp.asarray(threaded.first),
+            node_count=jnp.asarray(threaded.count),
+            node_inst=jnp.asarray(threaded.inst),
+            sky_bot=S(self.bot_sky_color), sky_top=S(self.top_sky_color),
+            ambient_light=S(self.ambient_light),
+            env_pixels=jnp.asarray(env),
+            env_cdf_marginal=jnp.asarray(cdf_m),
+            env_cdf_conditional=jnp.asarray(cdf_c),
+        )
+
+    def _build_threaded(self, prims, ptype, pfwd, pr, pboxr, pmesh, tri_offsets):
+        real = [i for i, p in enumerate(prims) if p["type"] != PRIM_NONE]
+        if not real:
+            em = bvh_mod._Emitter()
+            return em.finish()
+
+        item_lo = np.zeros((len(real), 3), np.float32)
+        item_hi = np.zeros((len(real), 3), np.float32)
+        for j, i in enumerate(real):
+            t = ptype[i]
+            if t == PRIM_SPHERE:
+                olo, ohi = np.full(3, -pr[i], np.float32), np.full(3, pr[i], np.float32)
+            elif t == PRIM_BOX:
+                olo, ohi = -pboxr[i], pboxr[i]
+            elif t == PRIM_MESH:
+                mesh = self.meshes[pmesh[i]]
+                b = mesh.bvh
+                olo, ohi = b.lo[0], b.hi[0]
+            else:
+                olo = ohi = np.zeros(3, np.float32)
+            item_lo[j], item_hi[j] = vec.transform_aabb(
+                pfwd[i].reshape(3, 4), olo, ohi)
+
+        tlas = bvh_mod.build_bvh(item_lo, item_hi, method="sah_binned")
+        return bvh_mod.flatten_world_bvh(
+            tlas,
+            np.array(real, np.int32),
+            item_lo, item_hi,
+            pfwd.reshape(-1, 3, 4),
+            pmesh,
+            [m.bvh for m in self.meshes],
+            tri_offsets,
+        )
+
+    @property
+    def n_lights(self) -> int:
+        return len(self.lights)

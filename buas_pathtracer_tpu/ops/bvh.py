@@ -214,9 +214,18 @@ class _Emitter:
         self.first, self.count, self.inst = [], [], []
         self.miss = []
 
+    # Flat (zero-extent) AABBs — axis-aligned quads, degenerate leaves — fail
+    # the strict slab test (tn < tf), in the reference too (its flat nodes
+    # produce -inf + inf = NaN, intersection.cpp:107-133).  The TPU build pads
+    # every emitted node by a tiny epsilon: strictly conservative (can only
+    # include more geometry), fixes flat-geometry misses.
+    PAD = 1e-4
+
     def emit(self, lo, hi, kind, first, count, inst):
-        self.lo.append(np.asarray(lo, np.float32))
-        self.hi.append(np.asarray(hi, np.float32))
+        lo = np.asarray(lo, np.float32) - self.PAD
+        hi = np.asarray(hi, np.float32) + self.PAD
+        self.lo.append(lo)
+        self.hi.append(hi)
         self.kind.append(kind)
         self.first.append(first)
         self.count.append(count)

@@ -1,0 +1,128 @@
+"""Environment map: equirect lookup + luminance-CDF importance sampling.
+
+The reference parses Radiance .HDR files into an Image_V3 and looks them up
+equirect in ``sample_sky`` (integrators.cpp:274-288).  It also builds a
+tiled luma CDF for importance sampling (assets.cpp:630-661) but the consumer
+was never implemented (integrators.cpp:230-233 "NOT YET IMPLEMENTED").  The
+TPU build implements both: exact per-texel marginal/conditional CDFs with
+inverse-CDF sampling (binary search as a fixed-depth lax loop — fully
+vectorized, no data-dependent shapes).
+"""
+
+from __future__ import annotations
+
+import jax.numpy as jnp
+import numpy as np
+
+from ..core.vec import PI, TAU, Vec3
+
+
+def build_env_cdf(env: np.ndarray):
+    """Host-side: per-row marginal CDF over sin-weighted luminance and
+    per-row conditional CDFs.  Returns (marginal (H+1,), conditional (H, W+1))
+    both normalized to [0, 1]."""
+    h, w, _ = env.shape
+    luma = (0.2126 * env[..., 0] + 0.7152 * env[..., 1] + 0.0722 * env[..., 2])
+    # sin(theta) weight: rows map v in [0,1) -> theta in [-pi/2, pi/2)
+    theta = (np.arange(h) + 0.5) / h * np.pi  # [0, pi): standard lat band
+    sin_w = np.sin(theta)
+    weighted = np.maximum(luma, 0.0) * sin_w[:, None]
+
+    row_sums = weighted.sum(axis=1)
+    total = row_sums.sum()
+    if total <= 0.0:
+        marg = np.linspace(0.0, 1.0, h + 1, dtype=np.float32)
+        cond = np.tile(np.linspace(0.0, 1.0, w + 1, dtype=np.float32), (h, 1))
+        return marg, cond
+
+    marg = np.zeros(h + 1, np.float32)
+    marg[1:] = np.cumsum(row_sums / total)
+    marg[-1] = 1.0
+
+    cond = np.zeros((h, w + 1), np.float32)
+    safe = np.where(row_sums > 0.0, row_sums, 1.0)
+    cond[:, 1:] = np.cumsum(weighted / safe[:, None], axis=1)
+    cond[:, -1] = 1.0
+    return marg, cond
+
+
+def _searchsorted_cdf(cdf: jnp.ndarray, u: jnp.ndarray) -> jnp.ndarray:
+    """Vectorized inverse-CDF: index i with cdf[i] <= u < cdf[i+1]."""
+    return jnp.clip(jnp.searchsorted(cdf, u, side="right") - 1,
+                    0, cdf.shape[0] - 2)
+
+
+def sample_env_direction(marg: jnp.ndarray, cond: jnp.ndarray,
+                         env: jnp.ndarray, u, v):
+    """Importance-sample a direction from the env map.
+
+    Returns (dir: Vec3, pdf (solid-angle), radiance: Vec3)."""
+    h, w, _ = env.shape
+    row = _searchsorted_cdf(marg, u)  # (N,)
+    # within-row: gather the row's conditional CDF then search — cond is
+    # (H, W+1); per-ray row gather then vectorized search along axis 1
+    crow = cond[row]  # (N, W+1)
+    col = jnp.clip(
+        jnp.sum((crow <= v[..., None]).astype(jnp.int32), axis=-1) - 1,
+        0, w - 1)
+
+    # continuous offsets inside the texel
+    m_lo = marg[row]
+    m_hi = marg[row + 1]
+    dv_ = (u - m_lo) / jnp.maximum(m_hi - m_lo, 1e-12)
+    c_lo = jnp.take_along_axis(crow, col[..., None], axis=-1)[..., 0]
+    c_hi = jnp.take_along_axis(crow, (col + 1)[..., None], axis=-1)[..., 0]
+    du_ = (v - c_lo) / jnp.maximum(c_hi - c_lo, 1e-12)
+
+    vv = (row.astype(jnp.float32) + dv_) / h  # [0,1): latitude coordinate
+    uu = (col.astype(jnp.float32) + du_) / w
+
+    # match sample_sky's mapping (integrators.cpp:277-283):
+    #   u = 0.5 + phi/(2pi), v = 0.5 + theta/pi  with theta = asin(d.y)
+    phi = (uu - 0.5) * TAU
+    theta = (vv - 0.5) * PI
+    cos_t = jnp.cos(theta)
+    d = Vec3(cos_t * jnp.cos(phi), jnp.sin(theta), cos_t * jnp.sin(phi))
+
+    # pdf over solid angle: p(u,v) / (2 pi^2 cos(theta));  rows were built with
+    # sin(standard-theta) = cos(latitude) weights, consistent with this.
+    pm = (m_hi - m_lo) * h
+    pc = (c_hi - c_lo) * w
+    pdf = (pm * pc) / jnp.maximum(TAU * PI * cos_t, 1e-8)
+
+    rad = env[row, col]  # (N, 3)
+    return d, pdf, Vec3(rad[..., 0], rad[..., 1], rad[..., 2])
+
+
+def lookup_env(env: jnp.ndarray, d: Vec3) -> Vec3:
+    """Equirect nearest lookup — exact port of sample_sky's skydome branch
+    (integrators.cpp:274-288) including its int truncation + modulo."""
+    h, w, _ = env.shape
+    rcp_pi = 1.0 / PI
+    rcp_2pi = 0.5 / PI
+    phi = jnp.arctan2(d.z, d.x)
+    theta = jnp.arcsin(jnp.clip(d.y, -1.0, 1.0))
+    u = 0.5 + rcp_2pi * phi
+    v = 0.5 + rcp_pi * theta
+    x = (u * w).astype(jnp.int32) % w
+    y = (v * h).astype(jnp.int32) % h
+    px = env[y, x]
+    return Vec3(px[..., 0], px[..., 1], px[..., 2])
+
+
+def env_pdf(marg: jnp.ndarray, cond: jnp.ndarray, env: jnp.ndarray, d: Vec3):
+    """Solid-angle pdf of sampling direction ``d`` (for MIS)."""
+    h, w, _ = env.shape
+    phi = jnp.arctan2(d.z, d.x)
+    theta = jnp.arcsin(jnp.clip(d.y, -1.0, 1.0))
+    u = 0.5 + 0.5 / PI * phi
+    v = 0.5 + 1.0 / PI * theta
+    row = jnp.clip((v * h).astype(jnp.int32), 0, h - 1)
+    col = jnp.clip((u * w).astype(jnp.int32), 0, w - 1)
+    pm = (marg[row + 1] - marg[row]) * h
+    crow = cond[row]
+    c_lo = jnp.take_along_axis(crow, col[..., None], axis=-1)[..., 0]
+    c_hi = jnp.take_along_axis(crow, (col + 1)[..., None], axis=-1)[..., 0]
+    pc = (c_hi - c_lo) * w
+    cos_t = jnp.cos(theta)
+    return (pm * pc) / jnp.maximum(TAU * PI * cos_t, 1e-8)

@@ -1,0 +1,72 @@
+"""Film: accumulation buffer + race-free reconstruction splat.
+
+The reference accumulates V4 pixels (xyz = filter-weighted color sum,
+w = filter-weight sum) into a double-buffered AccumulationBuffer
+(Raytracer.h:44-55) and splats each sample into a (2r+1)^2 neighborhood
+(splat_filter, raytracer.cpp:187-259).  Cross-tile splats race in the
+reference (unsynchronized float adds at tile borders); the TPU build inverts
+the splat into a GATHER: every output pixel sums the contributions of the
+samples in its (2r+1)^2 neighborhood via statically-shifted array windows —
+deterministic, race-free, and XLA-fusable (no scatter at all).
+
+Weight convention matches the reference exactly: the sample at pixel q with
+AA jitter j in [-0.5, 0.5]^2 contributes f(dx - j.x) * f(dy - j.y) to pixel
+q + (dx, dy)  =>  pixel p gathers f(-dx - j.x(q)) * f(-dy - j.y(q)) from each
+neighbor q = p + (dx, dy).
+"""
+
+from __future__ import annotations
+
+import jax.numpy as jnp
+
+from ..core.vec import Vec3
+from ..ops.filters import FilterOption
+
+
+def new_accumulation_buffer(h: int, w: int) -> jnp.ndarray:
+    """(H, W, 4) zeros; .w counts accumulated filter weight
+    (allocate_accumulation_buffer / reset, raytracer.cpp:501-522)."""
+    return jnp.zeros((h, w, 4), jnp.float32)
+
+
+def splat_pass(color: Vec3, jitter_x, jitter_y, filt: FilterOption) -> jnp.ndarray:
+    """One full-frame sample pass -> (H, W, 4) contribution image.
+
+    color:    Vec3 of (H, W) arrays (one sample per pixel, vignetted)
+    jitter_x: (H, W) AA jitter in [-0.5, 0.5] used for those samples
+    """
+    h, w = color.x.shape
+    sample = jnp.stack([color.x, color.y, color.z,
+                        jnp.ones_like(color.x)], axis=-1)  # (H, W, 4)
+
+    if filt.f is None:  # Box: null kernel, sample -> own pixel, weight 1
+        return sample
+
+    r = int(filt.radius)
+    pad = [(r, r), (r, r), (0, 0)]
+    sp = jnp.pad(sample, pad)  # zero pad: out-of-frame neighbors contribute 0
+    jx = jnp.pad(jitter_x, [(r, r), (r, r)])
+    jy = jnp.pad(jitter_y, [(r, r), (r, r)])
+
+    out = jnp.zeros((h, w, 4), jnp.float32)
+    for dy in range(-r, r + 1):
+        for dx in range(-r, r + 1):
+            # neighbor q = p + (dx, dy): shifted window of the padded arrays
+            win = sp[r + dy:r + dy + h, r + dx:r + dx + w]
+            wjx = jx[r + dy:r + dy + h, r + dx:r + dx + w]
+            wjy = jy[r + dy:r + dy + h, r + dx:r + dx + w]
+            wgt = filt.f(-dx - wjx) * filt.f(-dy - wjy)
+            out = out + win * wgt[..., None]
+    return out
+
+
+def accumulate(accum: jnp.ndarray, contribution: jnp.ndarray) -> jnp.ndarray:
+    return accum + contribution
+
+
+def resolve(accum: jnp.ndarray) -> jnp.ndarray:
+    """(H, W, 4) -> (H, W, 3) HDR color: xyz / w (post loop,
+    raytracer.cpp:2126-2128); zero-weight pixels resolve to 0."""
+    wgt = accum[..., 3:4]
+    safe = jnp.where(jnp.abs(wgt) > 1e-3, wgt, 1.0)
+    return jnp.where(jnp.abs(wgt) > 1e-3, accum[..., :3] / safe, 0.0)

@@ -1,0 +1,112 @@
+"""Frame renderer: full-frame wavefront passes, jit-compiled.
+
+Replaces the reference's tile scheduler (WorkQueue, raytracer.cpp:551-762):
+one "pass" renders ONE sample for EVERY pixel as a single batched wavefront
+(the tile decomposition disappears — the whole frame is the batch, XLA tiles
+it onto the VPU).  ``samples_per_pixel`` passes make a frame; frames
+accumulate progressively exactly like the reference's AccumulationBuffer
+(frame_count == accumulated spp, raytracer.cpp:429-439 canonical sample
+index).
+
+The integrator registry mirrors g_integrators (integrators.cpp:823-845):
+name-keyed, falling back to the Advanced Pathtracer.
+"""
+
+from __future__ import annotations
+
+from functools import partial
+from typing import Callable, Dict
+
+import jax
+import jax.numpy as jnp
+
+from ..core import sampler as smp
+from ..core.vec import Vec3
+from ..integrators import advanced as adv
+from ..integrators import debug as dbg
+from ..integrators import ground_truth as gt
+from ..integrators import whitted as wht
+from ..models.camera import Camera, generate_rays
+from ..models.scene import PackedScene, Scene, SceneSettings
+from ..ops.filters import find_filter
+from . import film
+
+INTEGRATORS: Dict[str, Callable] = {
+    "Advanced Pathtracer": adv.advanced,
+    "Whitted": wht.whitted,
+    "Ground Truth Recursive": gt.ground_truth_iterative,  # same program on the
+    "Ground Truth Iterative": gt.ground_truth_iterative,  # wavefront core
+    "Normals": dbg.normals,
+    "Distances": dbg.distances,
+}
+
+
+def find_integrator(name: str) -> Callable:
+    """integrators.cpp:834-845: default integrator if not found."""
+    return INTEGRATORS.get(name, adv.advanced)
+
+
+@partial(jax.jit, static_argnames=("settings", "h", "w", "n_lights", "filter_name"),
+         donate_argnames=("accum",))
+def render_frame(ps: PackedScene, settings: SceneSettings, cam: Camera,
+                 accum: jnp.ndarray, frame_index, *, h: int, w: int,
+                 n_lights: int, filter_name: str = "Mitchell Netravali"):
+    """Accumulate ``settings.samples_per_pixel`` full-frame sample passes.
+
+    frame_index: accumulated-samples-so-far (traced; no recompile per frame).
+    Returns the new accumulation buffer (donated input, updated in place).
+    """
+    integrator = find_integrator(settings.integrator)
+    filt = find_filter(filter_name)
+    strategy = int(settings.sampling_strategy)
+
+    py_, px_ = jnp.meshgrid(jnp.arange(h, dtype=jnp.int32),
+                            jnp.arange(w, dtype=jnp.int32), indexing="ij")
+    px = px_.reshape(-1)
+    py = py_.reshape(-1)
+
+    for s_i in range(int(settings.samples_per_pixel)):
+        sample_index = frame_index + s_i
+        sampler = smp.make_sampler(px, py, sample_index)
+
+        sampler, aa_u, aa_v = smp.sample_2d(sampler, strategy,
+                                            smp.SampleDimension.AA, 0)
+        sampler, dof_u, dof_v = smp.sample_2d(sampler, strategy,
+                                              smp.SampleDimension.DOF, 0)
+
+        rays = generate_rays(
+            cam, px, py, w, h, aa_u, aa_v, dof_u, dof_v,
+            settings.lens_distortion, settings.f_factor,
+            settings.diaphragm_edges, settings.phi_shutter_max,
+            settings.vignette_strength)
+
+        if integrator is adv.advanced or integrator is wht.whitted:
+            color, sampler = integrator(ps, settings, sampler, rays.o, rays.d,
+                                        n_lights=n_lights)
+        else:
+            color, sampler = integrator(ps, settings, sampler, rays.o, rays.d)
+        color = color * rays.vignette
+
+        color_img = Vec3(color.x.reshape(h, w), color.y.reshape(h, w),
+                         color.z.reshape(h, w))
+        jx = (aa_u - 0.5).reshape(h, w)
+        jy = (aa_v - 0.5).reshape(h, w)
+        accum = film.accumulate(accum, film.splat_pass(color_img, jx, jy, filt))
+
+    return accum
+
+
+def render(scene: Scene, w: int, h: int, frames: int = 1,
+           filter_name: str = "Mitchell Netravali"):
+    """Convenience host loop: pack, render ``frames`` frames, resolve.
+
+    Returns (hdr (H, W, 3) float32, accum (H, W, 4))."""
+    ps = scene.pack()
+    accum = film.new_accumulation_buffer(h, w)
+    spp = int(scene.settings.samples_per_pixel)
+    for f_i in range(frames):
+        accum = render_frame(ps, scene.settings, scene.camera, accum,
+                             jnp.uint32(f_i * spp), h=h, w=w,
+                             n_lights=scene.n_lights, filter_name=filter_name)
+    hdr = film.resolve(accum)
+    return jax.device_get(hdr), accum
