@@ -1,0 +1,103 @@
+"""Headline benchmark: Mrays/sec on a mesh scene (BASELINE.md workload).
+
+Workload: 1080p, 8 bounces, Advanced Pathtracer (NEE + MIS + RR + stratified),
+mesh-heavy scene (procedural icospheres — the reference's dragon OBJ is not
+redistributable/checked in).  Prints ONE JSON line:
+  {"metric": "Mrays_per_sec", "value": N, "unit": "Mrays/s", "vs_baseline": N}
+vs_baseline is against BASELINE.json's target of 100 Mrays/s/chip on v5e.
+
+Env overrides: BENCH_W, BENCH_H, BENCH_FRAMES, BENCH_SPP (for CPU smoke runs).
+"""
+
+import json
+import os
+import sys
+import time
+
+sys.path.insert(0, os.path.dirname(os.path.abspath(__file__)))
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+
+
+def build_bench_scene(w, h):
+    from buas_pathtracer_tpu.core import vec
+    from buas_pathtracer_tpu.models import camera as cm
+    from buas_pathtracer_tpu.models.scene import Scene, SceneSettings
+    from buas_pathtracer_tpu.utils.procgen import icosphere
+
+    sc = Scene(name="bench")
+    ground = sc.add_diffuse_material((0.55, 0.55, 0.55), 1.0, 0.0, True)
+    blue = sc.add_diffuse_material((0.25, 0.35, 0.8), 1.3)
+    from buas_pathtracer_tpu.models.materials import Material
+    metal = sc.add_material(Material(albedo=(0.85, 0.85, 0.85), ior=1.5, metallic=1.0))
+    glass = sc.add_translucent_material((0.3, 0.1, 0.05), 1.5)
+    light = sc.add_emissive_material((80.0, 80.0, 72.0))
+
+    mesh = icosphere(subdivisions=5)  # 20480 triangles
+    sc.add_mesh(blue, mesh, vec.translate([0, 2.0, 0]) * vec.scale(2.0))
+    sc.add_mesh(metal, mesh, vec.translate([-4.5, 1.5, 2]) * vec.scale(1.5))
+    sc.add_mesh(glass, mesh, vec.translate([4.5, 1.5, -1]) * vec.scale(1.5))
+    sc.add_box(ground, (30, 1, 30), vec.translate([0, -1.0, 0]))
+    sc.add_sphere(light, 2.0, vec.translate([0, 14.0, 6]))
+    sc.add_sphere(light, 1.0, vec.translate([-8, 10.0, -6]))
+
+    cam = cm.make_camera(p=(0, 4, -12), vfov=np.radians(45), aspect=w / h)
+    cam = cm.aim_camera_at(cam, (0, 1.8, 0))
+    sc.camera = cam
+    sc.settings = SceneSettings(max_bounce_count=8, samples_per_pixel=1,
+                                integrator="Advanced Pathtracer")
+    return sc
+
+
+def main():
+    w = int(os.environ.get("BENCH_W", 1920))
+    h = int(os.environ.get("BENCH_H", 1080))
+    frames = int(os.environ.get("BENCH_FRAMES", 4))
+    spp = int(os.environ.get("BENCH_SPP", 1))
+
+    from buas_pathtracer_tpu.models.scene import SceneSettings
+    from buas_pathtracer_tpu.runtime import film
+    from buas_pathtracer_tpu.runtime.render import render_frame
+
+    sc = build_bench_scene(w, h)
+    if spp != 1:
+        from dataclasses import replace
+        sc.settings = replace(sc.settings, samples_per_pixel=spp)
+
+    ps = sc.pack()
+    accum = film.new_accumulation_buffer(h, w)
+
+    # warmup / compile
+    accum, stats = render_frame(ps, sc.settings, sc.camera, accum,
+                                jnp.uint32(0), h=h, w=w,
+                                n_lights=sc.n_lights,
+                                filter_name="Mitchell Netravali")
+    jax.block_until_ready(accum)
+
+    t0 = time.perf_counter()
+    total_rays = 0.0
+    for f_i in range(frames):
+        accum, stats = render_frame(ps, sc.settings, sc.camera, accum,
+                                    jnp.uint32((f_i + 1) * spp), h=h, w=w,
+                                    n_lights=sc.n_lights,
+                                    filter_name="Mitchell Netravali")
+    stats = jax.block_until_ready(stats)
+    t1 = time.perf_counter()
+    # stats[0] counts rays (primary+bounce+shadow) for the LAST frame; frames
+    # are identical workloads so scale by frame count.
+    rays_per_frame = float(stats[0])
+    elapsed = t1 - t0
+    mrays = rays_per_frame * frames / elapsed / 1e6
+
+    print(json.dumps({
+        "metric": "Mrays_per_sec",
+        "value": round(mrays, 3),
+        "unit": "Mrays/s",
+        "vs_baseline": round(mrays / 100.0, 4),
+    }))
+
+
+if __name__ == "__main__":
+    main()

@@ -32,7 +32,7 @@ from ..models.scene import PackedScene, SceneSettings
 from ..ops import traverse
 from ..ops.shading import (fresnel_dielectric, map_to_cosine_weighted_hemisphere,
                            map_to_hemisphere, refract, sample_on_unit_sphere)
-from .common import (evaluate_material, pick_random_light,
+from .common import (evaluate_material, light_pick_pdf, pick_random_light,
                      random_point_on_light, sample_sky)
 
 STACK_DEPTH = 8  # reference uses 64 (integrators.cpp:602); 8 covers any sane
@@ -64,11 +64,14 @@ def advanced(ps: PackedScene, settings: SceneSettings, sampler: smp.Sampler,
 
     def body(st):
         (bounce, alive, o, d, throughput, total, s,
-         stack, stack_at, is_specular, prev_n) = st
+         stack, stack_at, is_specular, prev_n, stats) = st
 
         hit = traverse.intersect_scene(ps, o, d)
         found = hit.valid & alive
         missed = ~hit.valid & alive
+        stats = stats + jnp.array([jnp.sum(alive.astype(jnp.float32)),
+                                   hit.node_visits.astype(jnp.float32),
+                                   hit.tri_tests.astype(jnp.float32)])
 
         # ---- miss: sky, terminate (integrators.cpp:813-816) ----
         sky = sample_sky(ps, d)
@@ -106,11 +109,28 @@ def advanced(ps: PackedScene, settings: SceneSettings, sampler: smp.Sampler,
         total = vwhere(hit_emissive & allow_direct,
                        total + throughput * emit, total)
         if nee and use_mis:
-            light_pdf = hit.t * hit.t / jnp.maximum(cos_theta_i, 1e-8)
+            # BRDF-hit side of MIS.  The reference adds
+            # (1/(light_pdf+brdf_pdf))*throughput*emission with
+            # light_pdf = t^2/cos (integrators.cpp:660-669) — but throughput
+            # already carries 1/brdf_pdf from the previous bounce, so that
+            # form double-divides and omits the light area: it does NOT
+            # converge to its own ground-truth integrators.  The TPU build
+            # uses the proper one-sample balance heuristic instead:
+            # weight = brdf_pdf / (brdf_pdf + light_pdf_sa), with
+            # light_pdf_sa = pick_pdf * t^2 / (cos * A) — the exact pdf NEE
+            # would have used for this direction.  Converges to ground truth
+            # (tests/test_integrators.py).
             brdf_pdf = (dot(prev_n, d) / PI) if is_diffuse else (1.0 / (2.0 * PI))
-            mis_pdf = jnp.maximum(light_pdf + brdf_pdf, 1e-30)
+            hitc = jnp.maximum(hit.hit_id, 0)
+            light_r = ps.prim_r[hitc]
+            area = 2.0 * PI * light_r * light_r
+            # shading point of the previous bounce == this ray's origin
+            pick_pdf = light_pick_pdf(ps, o, hit.hit_id, is_lights)
+            light_pdf_sa = pick_pdf * hit.t * hit.t / jnp.maximum(
+                cos_theta_i * area, 1e-12)
+            w_brdf = brdf_pdf / jnp.maximum(brdf_pdf + light_pdf_sa, 1e-30)
             mis_case = hit_emissive & ~allow_direct & (bounce > 0)
-            total = vwhere(mis_case, total + throughput * emit * (1.0 / mis_pdf), total)
+            total = vwhere(mis_case, total + throughput * emit * w_brdf, total)
 
         # ---- fresnel split (:672-684) ----
         eta_i = ps.mat_ior[mat_i]
@@ -169,16 +189,23 @@ def advanced(ps: PackedScene, settings: SceneSettings, sampler: smp.Sampler,
                 ps, shadow_o, ls.L, ls.dist - 2.0 * EPSILON, light_idx)
             visible = facing & ~occluded
             solid_angle = (nl_dot_l * ls.A) / jnp.maximum(ls.dist_sq, 1e-12)
+            # light_rcp_pdf is the PICK probability (reference convention,
+            # integrators.cpp:163,175); full NEE pdf = pick * 1/solid_angle.
+            light_pdf_sa = light_rcp_pdf / jnp.maximum(solid_angle, 1e-12)
             if use_mis:
+                # balance heuristic: divide by the SUM of the strategies'
+                # pdfs.  (The reference sums before multiplying by the pick
+                # pdf, integrators.cpp:757-768 — a slight misweighting; see
+                # the BRDF-hit side note above.)
                 brdf_pdf = (n_dot_l / PI) if is_diffuse else (1.0 / (2.0 * PI))
-                pdf = 1.0 / jnp.maximum(solid_angle, 1e-12) + brdf_pdf
+                pdf = light_pdf_sa + brdf_pdf
             else:
-                pdf = 1.0 / jnp.maximum(solid_angle, 1e-12)
-            pdf = pdf * light_rcp_pdf
+                pdf = light_pdf_sa
             lmat = ps.prim_mat[light_idx]
             lemit = _gv(ps.mat_emission, lmat)
             contrib = throughput * brdf * lemit * (n_dot_l / jnp.maximum(pdf, 1e-30))
             nee_add = vwhere(visible, contrib, nee_add)
+            stats = stats + jnp.array([1.0, 0.0, 0.0]) * jnp.sum(facing.astype(jnp.float32))
         total = total + nee_add
 
         # indirect bounce (:777-795)
@@ -216,7 +243,7 @@ def advanced(ps: PackedScene, settings: SceneSettings, sampler: smp.Sampler,
         prev_n = vwhere(cont, N, prev_n)
         is_specular = jnp.where(cont, new_specular, is_specular)
         return (bounce + 1, cont, o, d, throughput, total, s,
-                stack, stack_at, is_specular, prev_n)
+                stack, stack_at, is_specular, prev_n, stats)
 
     st0 = (
         jnp.zeros((), jnp.int32),
@@ -229,8 +256,9 @@ def advanced(ps: PackedScene, settings: SceneSettings, sampler: smp.Sampler,
         jnp.zeros(n, jnp.int32),
         jnp.ones(n, bool),  # is_specular_bounce starts true (:615)
         zeros(n),
+        jnp.zeros(3),  # stats: [rays, node_visits, tri_tests]
     )
     out = jax.lax.while_loop(cond, body, st0)
     total = out[5]
     s = out[6]
-    return total, s
+    return total, s, out[11]

@@ -94,6 +94,34 @@ def pick_random_light(ps: PackedScene, u, I: Vec3, importance: bool):
     return lp[idx], rcp_pdf
 
 
+def light_pick_pdf(ps: PackedScene, I: Vec3, hit_prim, importance: bool):
+    """Probability that ``pick_random_light`` at shading point ``I`` would
+    pick the light primitive ``hit_prim`` — needed for the BRDF-hit side of
+    MIS.  Uniform: 1/L.  Importance: pdfs[i]/sum with the same projected-
+    solid-angle weights as pick_random_light."""
+    lp = ps.light_prim
+    L = int(lp.shape[0])
+    if not importance or L == 1:
+        return jnp.full_like(I.x, 1.0 / L)
+    cx = ps.prim_fwd[lp, 3]
+    cy = ps.prim_fwd[lp, 7]
+    cz = ps.prim_fwd[lp, 11]
+    vx = cx[None, :] - I.x[..., None]
+    vy = cy[None, :] - I.y[..., None]
+    vz = cz[None, :] - I.z[..., None]
+    dist_sq = vx * vx + vy * vy + vz * vz
+    emis = ps.mat_emission
+    lmat = ps.prim_mat[lp]
+    lmax = jnp.maximum(emis.x[lmat], jnp.maximum(emis.y[lmat], emis.z[lmat]))
+    r = ps.prim_r[lp]
+    is_sph = (ps.prim_type[lp] == PRIM_SPHERE).astype(jnp.float32)
+    pdfs = lmax[None, :] * is_sph[None, :] * PI * r[None, :] ** 2 / jnp.maximum(dist_sq, 1e-12)
+    total = jnp.sum(pdfs, axis=-1)
+    sel = (lp[None, :] == hit_prim[..., None]).astype(jnp.float32)
+    pdf_hit = jnp.sum(pdfs * sel, axis=-1)
+    return pdf_hit / jnp.maximum(total, 1e-30)
+
+
 class LightSample(NamedTuple):
     L: Vec3  # unit direction to the sampled point
     Nl: Vec3  # light-surface normal at the point

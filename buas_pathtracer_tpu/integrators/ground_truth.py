@@ -36,8 +36,11 @@ def ground_truth_iterative(ps: PackedScene, settings: SceneSettings,
         return (bounce < max_bounces) & jnp.any(alive)
 
     def body(st):
-        bounce, alive, o, d, throughput, total, state = st
+        bounce, alive, o, d, throughput, total, state, stats = st
         hit = traverse.intersect_scene(ps, o, d)
+        stats = stats + jnp.array([jnp.sum(alive.astype(jnp.float32)),
+                                   hit.node_visits.astype(jnp.float32),
+                                   hit.tri_tests.astype(jnp.float32)])
 
         found = hit.valid & alive
         missed = ~hit.valid & alive
@@ -79,14 +82,15 @@ def ground_truth_iterative(ps: PackedScene, settings: SceneSettings,
         o = vwhere(cont, new_o, o)
         d = vwhere(cont, new_d, d)
         alive = cont
-        return bounce + 1, alive, o, d, throughput, total, state
+        return bounce + 1, alive, o, d, throughput, total, state, stats
 
     st0 = (jnp.zeros((), jnp.int32), jnp.ones(n, bool), ray_o, ray_d,
-           full_like(ray_o, 1.0), zeros(n), sampler.state)
-    _, alive, o, d, throughput, total, state = jax.lax.while_loop(cond, body, st0)
+           full_like(ray_o, 1.0), zeros(n), sampler.state, jnp.zeros(3))
+    out = jax.lax.while_loop(cond, body, st0)
+    total, state, stats = out[5], out[6], out[7]
     # NOTE: rays still alive after max bounces contribute nothing extra —
     # exactly the reference's loop falling off the end.
-    return total, sampler._replace(state=state)
+    return total, sampler._replace(state=state), stats
 
 
 def smp_next(state):

@@ -47,11 +47,14 @@ def whitted(ps: PackedScene, settings: SceneSettings, sampler: smp.Sampler,
         return (bounce < max_bounces) & jnp.any(alive)
 
     def body(st):
-        bounce, alive, o, d, throughput, total, s, prev_mat = st
+        bounce, alive, o, d, throughput, total, s, prev_mat, stats = st
 
         hit = traverse.intersect_scene(ps, o, d)
         found = hit.valid & alive
         missed = ~hit.valid & alive
+        stats = stats + jnp.array([jnp.sum(alive.astype(jnp.float32)),
+                                   hit.node_visits.astype(jnp.float32),
+                                   hit.tri_tests.astype(jnp.float32)])
 
         sky = sample_sky(ps, d)
         total = vwhere(missed, total + throughput * sky, total)
@@ -90,6 +93,7 @@ def whitted(ps: PackedScene, settings: SceneSettings, sampler: smp.Sampler,
             lemit = _gv(ps.mat_emission, ps.prim_mat[light_idx])
             c = lemit * (nl_dot_l * ls.A * n_dot_l / jnp.maximum(ls.dist_sq, 1e-12))
             illum = vwhere(facing & ~occ, illum + c, illum)
+            stats = stats + jnp.array([1.0, 0.0, 0.0]) * jnp.sum(facing.astype(jnp.float32))
         illum = illum + ps.ambient_light
 
         albedo = evaluate_material(ps, mat_eff, hit.p)
@@ -138,9 +142,10 @@ def whitted(ps: PackedScene, settings: SceneSettings, sampler: smp.Sampler,
 
         o = vwhere(cont, new_o, o)
         d = vwhere(cont, new_d, d)
-        return bounce + 1, cont, o, d, throughput, total, s, prev_mat
+        return bounce + 1, cont, o, d, throughput, total, s, prev_mat, stats
 
     st0 = (jnp.zeros((), jnp.int32), jnp.ones(n, bool), ray_o, ray_d,
-           full_like(ray_o, 1.0), zeros(n), sampler, jnp.full(n, -1, jnp.int32))
+           full_like(ray_o, 1.0), zeros(n), sampler, jnp.full(n, -1, jnp.int32),
+           jnp.zeros(3))
     out = jax.lax.while_loop(cond, body, st0)
-    return out[5], out[6]
+    return out[5], out[6], out[8]

@@ -54,11 +54,11 @@ class SceneSettings:
     russian_roulette: bool = True
     caustics: bool = True
     sampling_strategy: int = Strategy.STRATIFIED
-    vignette_strength: float = 1.0
-    lens_distortion: float = 0.0
+    vignette_strength: float = 0.25
+    lens_distortion: float = 1.0
     f_factor: float = 0.0
     diaphragm_edges: float = 6.0
-    phi_shutter_max: float = 0.4
+    phi_shutter_max: float = 0.5
     samples_per_pixel: int = 1
     max_bounce_count: int = 12
     integrator: str = "Advanced Pathtracer"
@@ -151,6 +151,7 @@ class Scene:
     """Host-side scene under construction."""
 
     name: str = "unnamed"
+    filter_name: str = "Mitchell Netravali"  # init_scene default (raytracer.cpp:1427)
     camera: Camera = field(default_factory=make_camera)
     settings: SceneSettings = field(default_factory=SceneSettings)
     post_settings: PostProcessSettings = field(default_factory=PostProcessSettings)

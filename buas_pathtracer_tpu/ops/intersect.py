@@ -45,13 +45,18 @@ def plane(ray_o: Vec3, ray_d: Vec3, plane_n: Vec3, plane_d, t_cur):
 
 
 def sphere(ray_o: Vec3, ray_d: Vec3, radius, t_cur):
-    """Ray already in object space (unit-scale transform applied by caller)."""
+    """Ray in object space.  The reference quadratic assumes |d| == 1
+    (intersection.cpp:44-74) which silently mis-parameterizes t under scaled
+    instance transforms; the general form (a = dot(d, d)) is identical for
+    unit-length rays and correct for scaled ones."""
+    a = dot(ray_d, ray_d)
     b = dot(ray_d, ray_o)
     c = dot(ray_o, ray_o) - radius * radius
-    discr = b * b - c
+    discr = b * b - a * c
     root = jnp.sqrt(jnp.maximum(discr, 0.0))
-    tn = -b - root
-    tf = -b + root
+    inv_a = 1.0 / jnp.maximum(a, 1e-30)
+    tn = (-b - root) * inv_a
+    tf = (-b + root) * inv_a
     t = jnp.where(tn >= 0.0, tn, tf)
     hit = (discr >= 0.0) & (t >= EPSILON) & (t_cur > t)
     return hit, jnp.where(hit, t, t_cur)

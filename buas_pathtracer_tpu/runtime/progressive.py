@@ -1,0 +1,102 @@
+"""Progressive renderer: accumulation across frames + the double-buffered
+settings/camera commit protocol.
+
+Mirrors render_all_tiles' frame-boundary logic (raytracer.cpp:692-757):
+  * UI/host code mutates ``new_settings`` / ``new_camera`` freely;
+  * at a frame boundary the renderer compares them with the active copies,
+    and on change COMMITS them and RESETS accumulation (discard_current_render
+    + AccumulationBuffer.reset, raytracer.cpp:700-724);
+  * otherwise the new frame accumulates on top (frame_count += spp).
+
+The reference needs cooperative cancellation (discard_render checked
+per-sample) because worker threads own tiles for a whole frame; here a frame
+is ONE device computation, so "discard" is simply dropping the buffer — the
+in-flight dispatch still completes (XLA programs are not preemptible) but is
+cheap and its result is ignored.
+"""
+
+from __future__ import annotations
+
+from dataclasses import replace
+from typing import Optional
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+
+from ..models.camera import Camera
+from ..models.scene import PostProcessSettings, Scene, SceneSettings
+from . import film, post
+from .render import render_frame
+
+
+class ProgressiveRenderer:
+    """Single-chip progressive renderer with the reference's commit protocol."""
+
+    def __init__(self, scene: Scene, w: int, h: int):
+        self.scene = scene
+        self.w, self.h = w, h
+        self.ps = scene.pack()
+        self.n_lights = scene.n_lights
+
+        # active copies (committed at frame boundaries)
+        self.settings: SceneSettings = scene.settings
+        self.camera: Camera = scene.camera
+        # writable copies (the reference's scene->new_settings / new_camera)
+        self.new_settings: SceneSettings = scene.settings
+        self.new_camera: Camera = scene.camera
+
+        self.accum = film.new_accumulation_buffer(h, w)
+        self.frame_count = 0  # accumulated spp (AccumulationBuffer.frame_count)
+        self.last_stats = np.zeros(3)
+
+    # -- commit protocol ---------------------------------------------------
+    def _needs_reset(self) -> bool:
+        return (self.new_settings != self.settings
+                or any(not np.array_equal(np.asarray(a), np.asarray(b))
+                       for a, b in zip(jax.tree.leaves(self.new_camera),
+                                       jax.tree.leaves(self.camera))))
+
+    def render_one_frame(self):
+        """One progressive frame; returns accumulated spp so far."""
+        if self._needs_reset():
+            self.settings = self.new_settings
+            self.camera = self.new_camera
+            self.accum = film.new_accumulation_buffer(self.h, self.w)
+            self.frame_count = 0
+        self.accum, stats = render_frame(
+            self.ps, self.settings, self.camera, self.accum,
+            jnp.uint32(self.frame_count), h=self.h, w=self.w,
+            n_lights=self.n_lights, filter_name=self.scene.filter_name)
+        self.frame_count += int(self.settings.samples_per_pixel)
+        self.last_stats = np.asarray(stats)
+        return self.frame_count
+
+    # -- output --------------------------------------------------------------
+    def resolve_hdr(self) -> np.ndarray:
+        return np.asarray(jax.device_get(film.resolve(self.accum)))
+
+    def display_rgba8(self, post_settings: Optional[PostProcessSettings] = None) -> np.ndarray:
+        pp = post_settings or self.scene.post_settings
+        return np.asarray(jax.device_get(
+            post.post_process(self.accum, pp, self.frame_count)))
+
+    def take_picture(self, spp: int, path: str, progress=None) -> float:
+        """Offline high-spp render ("Take picture", raytracer.cpp:2037-2047,
+        3.4 in SURVEY): burn frames until ``spp`` accumulated, write BMP/PNG.
+        Returns elapsed seconds."""
+        import time
+        from ..utils.image import write_bmp, write_png
+        t0 = time.perf_counter()
+        while self.frame_count < spp:
+            self.render_one_frame()
+            if progress:
+                progress(self.frame_count, spp)
+        jax.block_until_ready(self.accum)
+        elapsed = time.perf_counter() - t0
+        img = self.display_rgba8()
+        if path.endswith(".png"):
+            write_png(path, img)
+        else:
+            write_bmp(path, img)
+        return elapsed

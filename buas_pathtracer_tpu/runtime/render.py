@@ -46,11 +46,9 @@ def find_integrator(name: str) -> Callable:
     return INTEGRATORS.get(name, adv.advanced)
 
 
-@partial(jax.jit, static_argnames=("settings", "h", "w", "n_lights", "filter_name"),
-         donate_argnames=("accum",))
-def render_frame(ps: PackedScene, settings: SceneSettings, cam: Camera,
-                 accum: jnp.ndarray, frame_index, *, h: int, w: int,
-                 n_lights: int, filter_name: str = "Mitchell Netravali"):
+def render_frame_impl(ps: PackedScene, settings: SceneSettings, cam: Camera,
+                      accum: jnp.ndarray, frame_index, *, h: int, w: int,
+                      n_lights: int, filter_name: str = "Mitchell Netravali"):
     """Accumulate ``settings.samples_per_pixel`` full-frame sample passes.
 
     frame_index: accumulated-samples-so-far (traced; no recompile per frame).
@@ -65,6 +63,7 @@ def render_frame(ps: PackedScene, settings: SceneSettings, cam: Camera,
     px = px_.reshape(-1)
     py = py_.reshape(-1)
 
+    stats = jnp.zeros(3)  # [rays traced, BVH node visits, triangle tests]
     for s_i in range(int(settings.samples_per_pixel)):
         sample_index = frame_index + s_i
         sampler = smp.make_sampler(px, py, sample_index)
@@ -81,10 +80,11 @@ def render_frame(ps: PackedScene, settings: SceneSettings, cam: Camera,
             settings.vignette_strength)
 
         if integrator is adv.advanced or integrator is wht.whitted:
-            color, sampler = integrator(ps, settings, sampler, rays.o, rays.d,
-                                        n_lights=n_lights)
+            color, sampler, st_ = integrator(ps, settings, sampler, rays.o, rays.d,
+                                             n_lights=n_lights)
         else:
-            color, sampler = integrator(ps, settings, sampler, rays.o, rays.d)
+            color, sampler, st_ = integrator(ps, settings, sampler, rays.o, rays.d)
+        stats = stats + st_
         color = color * rays.vignette
 
         color_img = Vec3(color.x.reshape(h, w), color.y.reshape(h, w),
@@ -93,20 +93,27 @@ def render_frame(ps: PackedScene, settings: SceneSettings, cam: Camera,
         jy = (aa_v - 0.5).reshape(h, w)
         accum = film.accumulate(accum, film.splat_pass(color_img, jx, jy, filt))
 
-    return accum
+    return accum, stats
+
+
+render_frame = partial(jax.jit, static_argnames=("settings", "h", "w", "n_lights",
+                                                 "filter_name"),
+                       donate_argnames=("accum",))(render_frame_impl)
 
 
 def render(scene: Scene, w: int, h: int, frames: int = 1,
            filter_name: str = "Mitchell Netravali"):
     """Convenience host loop: pack, render ``frames`` frames, resolve.
 
-    Returns (hdr (H, W, 3) float32, accum (H, W, 4))."""
+    Returns (hdr (H, W, 3) float32, accum (H, W, 4), stats (3,))."""
     ps = scene.pack()
     accum = film.new_accumulation_buffer(h, w)
     spp = int(scene.settings.samples_per_pixel)
+    stats = jnp.zeros(3)
     for f_i in range(frames):
-        accum = render_frame(ps, scene.settings, scene.camera, accum,
-                             jnp.uint32(f_i * spp), h=h, w=w,
-                             n_lights=scene.n_lights, filter_name=filter_name)
+        accum, st_ = render_frame(ps, scene.settings, scene.camera, accum,
+                                  jnp.uint32(f_i * spp), h=h, w=w,
+                                  n_lights=scene.n_lights, filter_name=filter_name)
+        stats = stats + st_
     hdr = film.resolve(accum)
-    return jax.device_get(hdr), accum
+    return jax.device_get(hdr), accum, stats

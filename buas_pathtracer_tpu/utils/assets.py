@@ -1,0 +1,180 @@
+"""Asset IO: OBJ meshes + Radiance .HDR environment maps.
+
+Ports the reference's hand-rolled parsers with the same tolerance rules:
+
+OBJ (assets.cpp:187-400): v/vt/vn records, faces with '/'-separated indices,
+negative (relative) indices, >3-gon triangle-fan expansion, optional winding
+flip, parallel texcoord/normal triangle arrays that must match the triangle
+count or the whole mesh is rejected.
+
+Radiance HDR (assets.cpp:406-618): header FORMAT check, -Y h +X w resolution
+string, adaptive/old RLE scanlines, RGBE decode with the reference's
+``exp > 9`` cutoff (decode_radiance_color, assets.cpp:411-421).
+
+Missing files return None — the reference degrades gracefully (missing OBJ ->
+scene without the mesh, missing HDR -> gradient sky), and those fallbacks are
+load-bearing because the data files are not checked in (SURVEY §5).
+"""
+
+from __future__ import annotations
+
+import os
+from typing import Optional
+
+import numpy as np
+
+from ..models.mesh import Mesh
+
+
+def parse_obj(text: str, winding: str = "ccw") -> Optional[Mesh]:
+    vertices = [(0.0, 0.0, 0.0)]  # NULL entries: OBJ indices are 1-based
+    texcoords = [(0.0, 0.0, 0.0)]
+    normals = [(0.0, 0.0, 0.0)]
+    tri_v, tri_t, tri_n = [], [], []
+
+    flip = winding == "cw"
+
+    for line in text.splitlines():
+        line = line.strip()
+        if not line:
+            continue
+        parts = line.split()
+        tag = parts[0]
+        if tag == "v" or tag == "vn" or tag == "vt":
+            target = vertices if tag == "v" else (normals if tag == "vn" else texcoords)
+            vals = [0.0, 0.0, 0.0]
+            for i, p in enumerate(parts[1:4]):
+                try:
+                    vals[i] = float(p)
+                except ValueError:
+                    pass
+            target.append(tuple(vals))
+        elif tag == "f":
+            vf, tf, nf = [], [], []
+            counts = (len(vertices), len(texcoords), len(normals))
+            faces = (vf, tf, nf)
+            for corner in parts[1:]:
+                comps = corner.split("/")
+                for fi in range(min(3, len(comps))):
+                    if comps[fi] == "":
+                        continue
+                    idx = int(comps[fi])
+                    if idx < 0:
+                        idx = counts[fi] + idx
+                    faces[fi].append(idx)
+            if len(vf) > 32:
+                return None  # "Too many vertices for face"
+            if len(vf) < 3:
+                return None  # "Not enough vertices to make a face"
+            a, b, c = (2, 1, 0) if flip else (0, 1, 2)
+            for fan, (src, dst) in ((vf, (vertices, tri_v)),
+                                    (tf, (texcoords, tri_t)),
+                                    (nf, (normals, tri_n))):
+                for i in range(1, len(fan) - 1):
+                    tri = [None, None, None]
+                    tri[a] = src[fan[0]]
+                    tri[b] = src[fan[i]]
+                    tri[c] = src[fan[i + 1]]
+                    dst.append(tri)
+
+    if not tri_v:
+        return None
+    if tri_t and len(tri_t) != len(tri_v):
+        return None
+    if tri_n and len(tri_n) != len(tri_v):
+        return None
+
+    return Mesh(
+        triangles=np.asarray(tri_v, np.float32),
+        normals=np.asarray(tri_n, np.float32) if tri_n else None,
+        texcoords=np.asarray(tri_t, np.float32)[..., :2] if tri_t else None,
+    )
+
+
+def load_mesh(path: str, winding: str = "ccw") -> Optional[Mesh]:
+    """load_mesh (raytracer.cpp:148-158): missing file -> None, scene skips."""
+    if not os.path.exists(path):
+        return None
+    with open(path, "r", errors="replace") as f:
+        return parse_obj(f.read(), winding)
+
+
+# ---------------------------------------------------------------------------
+# Radiance HDR
+# ---------------------------------------------------------------------------
+
+
+def _decode_rgbe(rgbe: np.ndarray) -> np.ndarray:
+    """(..., 4) uint8 -> (..., 3) float32 (decode_radiance_color semantics:
+    exp <= 9 decodes to black)."""
+    e = rgbe[..., 3].astype(np.int32)
+    valid = e > 9
+    scale = np.where(valid, np.exp2(e - 9 - 127 + 23 - 23).astype(np.float64), 0.0)
+    # float_from_bits((exp-9)<<23) == 2^(exp-9-127)
+    scale = np.where(valid, np.exp2((e - 9 - 127).astype(np.float64)), 0.0)
+    rgb = (rgbe[..., :3].astype(np.float32) + 0.5) * scale[..., None].astype(np.float32)
+    return rgb.astype(np.float32)
+
+
+def parse_hdr(data: bytes) -> Optional[np.ndarray]:
+    """Returns (H, W, 3) float32 or None."""
+    if not (data.startswith(b"#?RADIANCE") or data.startswith(b"#?RGBE")):
+        return None
+    # header: lines until blank, then resolution line
+    pos = 0
+    fmt_ok = False
+    while True:
+        nl = data.find(b"\n", pos)
+        if nl < 0:
+            return None
+        line = data[pos:nl]
+        pos = nl + 1
+        if line.startswith(b"FORMAT="):
+            fmt_ok = b"32-bit_rle_rgbe" in line
+        if line == b"":
+            break
+    nl = data.find(b"\n", pos)
+    res = data[pos:nl].split()
+    pos = nl + 1
+    if len(res) != 4 or res[0] != b"-Y" or res[2] != b"+X":
+        return None  # only the common orientation, like the reference
+    h, w = int(res[1]), int(res[3])
+
+    buf = np.frombuffer(data, np.uint8, offset=pos)
+    out = np.zeros((h, w, 4), np.uint8)
+    at = 0
+    for y in range(h):
+        if at + 4 > len(buf):
+            return None
+        if w >= 8 and w < 32768 and buf[at] == 2 and buf[at + 1] == 2 and \
+           (int(buf[at + 2]) << 8 | int(buf[at + 3])) == w:
+            # adaptive RLE: 4 separated component streams
+            at += 4
+            for comp in range(4):
+                x = 0
+                while x < w:
+                    count = int(buf[at]); at += 1
+                    if count > 128:  # run
+                        out[y, x:x + count - 128, comp] = buf[at]
+                        at += 1
+                        x += count - 128
+                    else:  # literal
+                        out[y, x:x + count, comp] = buf[at:at + count]
+                        at += count
+                        x += count
+        else:
+            # flat scanline (old-RLE not produced by modern tools; read flat)
+            need = w * 4
+            row = buf[at:at + need].reshape(w, 4)
+            out[y] = row
+            at += need
+    return _decode_rgbe(out)
+
+
+def load_environment_map(path: str) -> Optional[np.ndarray]:
+    """load_environment_map (assets.cpp:620-665): missing -> None (gradient
+    sky fallback in sample_sky)."""
+    if not os.path.exists(path):
+        return None
+    with open(path, "rb") as f:
+        return parse_hdr(f.read())

@@ -1,17 +1,24 @@
-"""Test config: run everything on a virtual 8-device CPU mesh.
+"""Test config: force a virtual 8-device CPU mesh.
 
-Must set the env vars before jax initializes its backends.
+Env vars must be set before jax initializes its backends; under the axon
+image a sitecustomize pre-registers the TPU backend and forces
+JAX_PLATFORMS=axon, so the env-var route is not enough — we also override
+the platform through jax.config before any backend is initialized.
 """
 
 import os
 
-os.environ.setdefault("JAX_PLATFORMS", "cpu")
+os.environ["JAX_PLATFORMS"] = "cpu"
 flags = os.environ.get("XLA_FLAGS", "")
 if "xla_force_host_platform_device_count" not in flags:
     os.environ["XLA_FLAGS"] = (
         flags + " --xla_force_host_platform_device_count=8"
     ).strip()
 os.environ.setdefault("JAX_ENABLE_X64", "0")
+
+import jax  # noqa: E402
+
+jax.config.update("jax_platforms", "cpu")
 
 import numpy as np  # noqa: E402
 import pytest  # noqa: E402
