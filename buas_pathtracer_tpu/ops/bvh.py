@@ -49,9 +49,18 @@ class BuildNodes:
 
 def build_bvh(lo: np.ndarray, hi: np.ndarray, method: str = "sah_binned",
               max_leaf_size: int = MAX_LEAF_SIZE) -> BuildNodes:
-    """Top-down build over item AABBs (lo/hi: (M,3) float32)."""
+    """Top-down build over item AABBs (lo/hi: (M,3) float32).
+
+    The default binned-SAH method dispatches to the native C++ builder
+    (native/src/bvh_builder.cpp) when available; 'midpoint'/'sah' and
+    toolchain-less environments use the numpy path below."""
     lo = np.asarray(lo, np.float32)
     hi = np.asarray(hi, np.float32)
+    if method == "sah_binned" and lo.shape[0] > 0:
+        from ..native import build_bvh_native
+        built = build_bvh_native(lo, hi, max_leaf_size)
+        if built is not None:
+            return built
     m = lo.shape[0]
     assert m > 0
     centers = 0.5 * (lo + hi)
@@ -292,12 +301,42 @@ def flatten_world_bvh(
         emit_mesh_subtree(bnodes, left + 1, fwd, tri_base, inst)
         em.miss[me] = em.n
 
+    def emit_mesh_subtree_native(bnodes: BuildNodes, fwd: np.ndarray,
+                                 tri_base: int, inst: int) -> bool:
+        """C++ fast path: emit the whole subtree in one call by extending the
+        emitter's lists with preallocated bulk arrays."""
+        from ..native import flatten_subtree_native
+        n = int(bnodes.count.shape[0])
+        lo = np.empty((n, 3), np.float32)
+        hi = np.empty((n, 3), np.float32)
+        miss = np.empty(n, np.int32)
+        kind = np.empty(n, np.int8)
+        first = np.empty(n, np.int32)
+        count = np.empty(n, np.int32)
+        insta = np.empty(n, np.int32)
+        ok = flatten_subtree_native(bnodes, fwd, _Emitter.PAD, tri_base, inst,
+                                    em.n, KIND_INTERNAL, KIND_TRIS,
+                                    lo, hi, miss, kind, first, count, insta)
+        if not ok:
+            return False
+        em.lo.extend(lo)
+        em.hi.extend(hi)
+        em.miss.extend(miss.tolist())
+        em.kind.extend(kind.tolist())
+        em.first.extend(first.tolist())
+        em.count.extend(count.tolist())
+        em.inst.extend(insta.tolist())
+        return True
+
     def emit_prim_leaf(item: int):
         prim_idx = int(tlas_prim_ids[item])
         mesh_id = int(prim_mesh_id[prim_idx])
         if mesh_id >= 0:
-            emit_mesh_subtree(mesh_bvhs[mesh_id], 0, prim_fwd[prim_idx],
-                              int(mesh_tri_offsets[mesh_id]), prim_idx)
+            if not emit_mesh_subtree_native(
+                    mesh_bvhs[mesh_id], prim_fwd[prim_idx],
+                    int(mesh_tri_offsets[mesh_id]), prim_idx):
+                emit_mesh_subtree(mesh_bvhs[mesh_id], 0, prim_fwd[prim_idx],
+                                  int(mesh_tri_offsets[mesh_id]), prim_idx)
         else:
             me = em.emit(item_lo[item], item_hi[item], KIND_PRIM, prim_idx, 1, prim_idx)
             em.miss[me] = em.n

@@ -27,6 +27,18 @@ from ..models.mesh import Mesh
 
 
 def parse_obj(text: str, winding: str = "ccw") -> Optional[Mesh]:
+    from ..native import parse_obj_native
+    res = parse_obj_native(text.encode("utf-8", errors="replace"),
+                           winding == "cw")
+    if res is not False:  # native lib present: its verdict is final
+        if res is None:
+            return None
+        tri, nrm, tex = res
+        return Mesh(triangles=tri, normals=nrm, texcoords=tex)
+    return _parse_obj_py(text, winding)
+
+
+def _parse_obj_py(text: str, winding: str = "ccw") -> Optional[Mesh]:
     vertices = [(0.0, 0.0, 0.0)]  # NULL entries: OBJ indices are 1-based
     texcoords = [(0.0, 0.0, 0.0)]
     normals = [(0.0, 0.0, 0.0)]
@@ -139,6 +151,11 @@ def parse_hdr(data: bytes) -> Optional[np.ndarray]:
     if len(res) != 4 or res[0] != b"-Y" or res[2] != b"+X":
         return None  # only the common orientation, like the reference
     h, w = int(res[1]), int(res[3])
+
+    from ..native import hdr_decode_native
+    native = hdr_decode_native(data[pos:], w, h)
+    if native is not None:
+        return _decode_rgbe(native)
 
     buf = np.frombuffer(data, np.uint8, offset=pos)
     out = np.zeros((h, w, 4), np.uint8)
