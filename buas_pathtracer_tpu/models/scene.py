@@ -126,6 +126,16 @@ class PackedScene(NamedTuple):
     node_count: jnp.ndarray  # (N,) int32
     node_inst: jnp.ndarray  # (N,) int32
 
+    # 8-wide row BVH (ops/wide_bvh.py) — the hot traversal path
+    wide_rows: jnp.ndarray  # (R, 128) float32, int lanes bitcast
+    wide_depth_arr: jnp.ndarray  # (D,) dummy; D = static stack bound
+    # world-space per-triangle shading data, wide-leaf-ordered (Tw>=1)
+    wtri_ng: Vec3
+    wtri_na: Vec3
+    wtri_nb: Vec3
+    wtri_nc: Vec3
+    wtri_has_n: jnp.ndarray  # (Tw,) bool
+
     # sky / lighting environment
     sky_bot: Vec3  # scalars
     sky_top: Vec3
@@ -285,6 +295,7 @@ class Scene:
 
         # TLAS over world AABBs of real primitives (scene.cpp:173-242)
         threaded = self._build_threaded(prims, ptype, pfwd, pr, pboxr, pmesh, tri_offsets)
+        wide = self._build_wide(prims, ptype, pfwd, pinv, pr, pboxr, pmesh)
 
         # lights (padded to >=1, masked by n_lights=0 at trace time: we keep
         # the true count in the padded-or-not length; an empty list packs one
@@ -329,12 +340,45 @@ class Scene:
             node_first=jnp.asarray(threaded.first),
             node_count=jnp.asarray(threaded.count),
             node_inst=jnp.asarray(threaded.inst),
+            wide_rows=jnp.asarray(wide.rows),
+            wide_depth_arr=jnp.zeros(wide.depth, jnp.int32),
+            wtri_ng=V(wide.tri_ng), wtri_na=V(wide.tri_na),
+            wtri_nb=V(wide.tri_nb), wtri_nc=V(wide.tri_nc),
+            wtri_has_n=jnp.asarray(wide.tri_has_n),
             sky_bot=S(self.bot_sky_color), sky_top=S(self.top_sky_color),
             ambient_light=S(self.ambient_light),
             env_pixels=jnp.asarray(env),
             env_cdf_marginal=jnp.asarray(cdf_m),
             env_cdf_conditional=jnp.asarray(cdf_c),
         )
+
+    def _build_wide(self, prims, ptype, pfwd, pinv, pr, pboxr, pmesh):
+        from ..ops import wide_bvh
+        real = [i for i, p in enumerate(prims) if p["type"] != PRIM_NONE]
+        item_lo, item_hi = self._world_aabbs(real, prims, ptype, pfwd, pr,
+                                             pboxr, pmesh)
+        return wide_bvh.build_wide_scene(
+            ptype, pfwd.reshape(-1, 3, 4), pr, pinv.reshape(-1, 3, 4), pboxr,
+            pmesh, self.meshes, real, item_lo, item_hi)
+
+    def _world_aabbs(self, real, prims, ptype, pfwd, pr, pboxr, pmesh):
+        item_lo = np.zeros((max(len(real), 1), 3), np.float32)
+        item_hi = np.zeros((max(len(real), 1), 3), np.float32)
+        for j, i in enumerate(real):
+            t = ptype[i]
+            if t == PRIM_SPHERE:
+                olo, ohi = np.full(3, -pr[i], np.float32), np.full(3, pr[i], np.float32)
+            elif t == PRIM_BOX:
+                olo, ohi = -pboxr[i], pboxr[i]
+            elif t == PRIM_MESH:
+                mesh = self.meshes[pmesh[i]]
+                tv = np.asarray(mesh.triangles, np.float32)
+                olo, ohi = tv.reshape(-1, 3).min(axis=0), tv.reshape(-1, 3).max(axis=0)
+            else:
+                olo = ohi = np.zeros(3, np.float32)
+            item_lo[j], item_hi[j] = vec.transform_aabb(
+                pfwd[i].reshape(3, 4), olo, ohi)
+        return item_lo, item_hi
 
     def _build_threaded(self, prims, ptype, pfwd, pr, pboxr, pmesh, tri_offsets):
         real = [i for i, p in enumerate(prims) if p["type"] != PRIM_NONE]

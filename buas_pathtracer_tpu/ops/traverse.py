@@ -191,18 +191,45 @@ def _traverse_bvh(ps: PackedScene, ray_o: Vec3, ray_d: Vec3, t0,
     return t, prim, tri, bv, bw, nv, tt
 
 
+def _use_wide() -> bool:
+    import os
+    return os.environ.get("BUAS_TRAVERSAL", "wide") == "wide"
+
+
 def intersect_shadow_ray(ps: PackedScene, ray_o: Vec3, ray_d: Vec3, max_t,
                          ignored_prim) -> jnp.ndarray:
-    """Occlusion query (intersection.cpp:600-604). True if anything blocks."""
+    """Occlusion query (intersection.cpp:600-604). True if anything blocks.
+
+    Dispatches to the 8-wide row-BVH traversal (ops/traverse_wide.py) unless
+    BUAS_TRAVERSAL=threaded forces this module's skip-link walk."""
+    if _use_wide():
+        from . import traverse_wide
+        return traverse_wide.intersect_shadow_ray(ps, ray_o, ray_d, max_t,
+                                                  ignored_prim)
+    return intersect_shadow_ray_threaded(ps, ray_o, ray_d, max_t, ignored_prim)
+
+
+def intersect_scene(ps: PackedScene, ray_o: Vec3, ray_d: Vec3,
+                    max_t=None, ignored_prim=None) -> Hit:
+    """Full closest-hit query + deferred normal (intersection.cpp:606-610)."""
+    if _use_wide():
+        from . import traverse_wide
+        return traverse_wide.intersect_scene(ps, ray_o, ray_d, max_t,
+                                             ignored_prim)
+    return intersect_scene_threaded(ps, ray_o, ray_d, max_t, ignored_prim)
+
+
+def intersect_shadow_ray_threaded(ps: PackedScene, ray_o: Vec3, ray_d: Vec3,
+                                  max_t, ignored_prim) -> jnp.ndarray:
     t_pl, plane_idx = _intersect_planes(ps, ray_o, ray_d, max_t)
     t, prim, *_ = _traverse_bvh(ps, ray_o, ray_d, t_pl, ignored_prim,
                                 occlusion=True)
     return (prim >= 0) | (plane_idx >= 0)
 
 
-def intersect_scene(ps: PackedScene, ray_o: Vec3, ray_d: Vec3,
-                    max_t=None, ignored_prim=None) -> Hit:
-    """Full closest-hit query + deferred normal (intersection.cpp:606-610)."""
+def intersect_scene_threaded(ps: PackedScene, ray_o: Vec3, ray_d: Vec3,
+                             max_t=None, ignored_prim=None) -> Hit:
+    """Threaded skip-link walk (kept as oracle/fallback)."""
     t0 = jnp.full_like(ray_o.x, BIG_T) if max_t is None else max_t
     if ignored_prim is None:
         ignored_prim = jnp.full_like(t0, -1).astype(jnp.int32)

@@ -1,0 +1,378 @@
+"""Lockstep traversal of the 8-wide row BVH (ops/wide_bvh.py).
+
+Replaces ops/traverse.py's threaded binary walk on the hot path.  Per
+``while_loop`` iteration each ray gathers exactly ONE (1,128)-float row and
+does dense VPU work on it; descent is nearest-first via an 8-key Batcher
+sorting network, and backtracking resolves in the same iteration by scanning
+the per-level nibble stack for the deepest unexhausted entry — there are no
+wasted pop-only iterations.  Long batches are processed in chunks
+(``lax.map``) so coherent chunks retire at their own pace instead of the
+whole frame waiting for its single worst ray.
+
+Semantics preserved from the reference (intersection.cpp:403-611): planes
+tested linearly outside the BVH, shadow rays exclude the sampled light
+primitive and early-out, normals computed once from the winning hit.  Mesh
+triangles are world-space (pre-transformed at pack), so barycentrics and t
+match the reference's object-space test by affine invariance.
+"""
+
+from __future__ import annotations
+
+import os
+from functools import partial
+
+import jax
+import jax.numpy as jnp
+
+from ..core.vec import Vec3, dot, noz, where as vwhere
+from ..models.scene import PackedScene, PRIM_SPHERE, PRIM_BOX
+from . import intersect
+from .traverse import (BIG_T, Hit, _gather_v3, _intersect_planes,
+                       _xform_point_rows, _xform_vector_rows,
+                       _xform_normal_rows)
+from .wide_bvh import (KIND_INTERNAL, KIND_TRIS, KIND_PRIM, WIDE, WIDE_LEAF)
+
+DONE = jnp.int32(-2)
+KEY_MISS = jnp.int32(0x7FFFFFFF)
+_NIB_FILL = jnp.int32(-1)  # all-F nibbles; >>4 sign-extends more F's in
+
+# Batcher odd-even merge sorting network for 8 elements (19 comparators)
+_SORT8 = [(0, 1), (2, 3), (4, 5), (6, 7),
+          (0, 2), (1, 3), (4, 6), (5, 7),
+          (1, 2), (5, 6),
+          (0, 4), (1, 5), (2, 6), (3, 7),
+          (2, 4), (3, 5),
+          (1, 2), (3, 4), (5, 6)]
+
+# 32768 measured fastest on v5e (16k pays lax.map serialization, 128k+ pays
+# lockstep divergence: the whole chunk spins until its worst ray finishes)
+CHUNK = int(os.environ.get("BUAS_TRAVERSE_CHUNK", 32768))
+
+
+def _i32(x):
+    """Decode an integer metadata lane stored as an exact float32 VALUE
+    (wide_bvh._f).  A bitcast encoding would be a denormal for small ints and
+    get flushed to zero by XLA CPU (DAZ/FTZ) and by TPU hardware."""
+    return x.astype(jnp.int32)
+
+
+def _key_bits(x):
+    """Bitcast of a NON-NEGATIVE float for distance-ordered sort keys (bit
+    patterns of non-negative f32 are monotone as int32)."""
+    return jax.lax.bitcast_convert_type(x, jnp.int32)
+
+
+def _traverse_chunk(rows, depth: int, o: Vec3, d: Vec3, t0, ignored_prim,
+                    occlusion: bool):
+    """Core loop over one chunk of rays. Returns (t, prim, tri, bv, bw, nv, tt).
+
+    TPU layout discipline: ray-state vectors are (nc,) arrays — XLA lays the
+    ray index along VPU lanes.  The gathered (nc, 128) rows put FIELDS on
+    lanes instead, so every per-field column extraction would force a full
+    cross-lane relayout (~140 of them per iteration = the whole runtime,
+    measured 5 ms/iter at 147k rays).  Transposing the gathered block ONCE to
+    (128, nc) makes every field read a cheap sublane slice already in
+    rays-on-lanes layout — 3.6x faster end to end.  The nibble stacks are
+    kept (D, nc) for the same reason."""
+    n = t0.shape
+    n_rows = rows.shape[0]
+    inv_d = intersect.safe_inv_dir(d)
+    lanes = jnp.arange(depth, dtype=jnp.int32)[:, None]  # (D, 1)
+
+    def cond(st):
+        return jnp.any(st[0] != DONE)
+
+    row_w = rows.shape[1]
+    eye = jnp.eye(row_w, dtype=jnp.float32)
+
+    def body(st):
+        (cur, level, seqs, bases, t, prim, tri, bv, bw, nv, tt) = st
+        active = cur != DONE
+        g = rows[jnp.clip(cur, 0, n_rows - 1)]  # (nc, row_w) gather
+        # Materialize the transpose through the MXU (identity matmul at
+        # HIGHEST precision = exact f32).  A plain .T gets folded into a
+        # layout annotation and every per-field sublane read then lowers to
+        # a full-array lane extraction (slice_reduce fusions = 93% of the
+        # loop's cycles in the profile).  The dot is ~128*128*nc MACs and
+        # forces a physically rays-on-lanes result, making all ~100 field
+        # reads free sublane slices.
+        rowT = jax.lax.dot_general(
+            eye, g, (((1,), (1,)), ((), ())),
+            precision=jax.lax.Precision.HIGHEST,
+            preferred_element_type=jnp.float32)  # (row_w, nc)
+        kind = jnp.where(active, _i32(rowT[0]), KIND_PRIM + 99)
+
+        # ---------------- internal: test 8 child slabs, sort, descend ------
+        child_base = _i32(rowT[1])
+        keys = []
+        for c in range(WIDE):
+            s = 2 + 6 * c
+            lo = Vec3(rowT[s], rowT[s + 1], rowT[s + 2])
+            hi = Vec3(rowT[s + 3], rowT[s + 4], rowT[s + 5])
+            t1 = (lo - o) * inv_d
+            t2 = (hi - o) * inv_d
+            tn = jnp.maximum(jnp.maximum(jnp.minimum(t1.x, t2.x),
+                                         jnp.minimum(t1.y, t2.y)),
+                             jnp.minimum(t1.z, t2.z))
+            tf = jnp.minimum(jnp.minimum(jnp.maximum(t1.x, t2.x),
+                                         jnp.maximum(t1.y, t2.y)),
+                             jnp.maximum(t1.z, t2.z))
+            hit_c = (tn < tf) & (tf > 0.0) & (tn < t)
+            # distance-ordered sort key: non-negative f32 bits are monotone
+            # as int32; low 3 bits carry the slot
+            bits = _key_bits(jnp.maximum(tn, 0.0))
+            key = jnp.bitwise_or(jnp.bitwise_and(bits, ~jnp.int32(7)),
+                                 jnp.int32(c))
+            keys.append(jnp.where(hit_c, key, KEY_MISS))
+        for (i, j) in _SORT8:
+            ki, kj = keys[i], keys[j]
+            keys[i] = jnp.minimum(ki, kj)
+            keys[j] = jnp.maximum(ki, kj)
+        any_hit = keys[0] != KEY_MISS
+        more = keys[1] != KEY_MISS
+        slot0 = jnp.bitwise_and(keys[0], 7)
+        seq_rest = jnp.full_like(child_base, -268435456)  # 0xF0000000
+        for j in range(1, WIDE):
+            nib = jnp.where(keys[j] == KEY_MISS, jnp.int32(0xF),
+                            jnp.bitwise_and(keys[j], 7))
+            seq_rest = jnp.bitwise_or(seq_rest, nib << (4 * (j - 1)))
+
+        is_int = active & (kind == KIND_INTERNAL)
+        descend = is_int & any_hit
+        push = descend & more
+        new_level = level + 1
+        wmask = push[None, :] & (lanes == new_level[None, :])  # (D, nc)
+        seqs = jnp.where(wmask, seq_rest[None, :], seqs)
+        bases = jnp.where(wmask, child_base[None, :], bases)
+        level = jnp.where(push, new_level, level)
+        cur_desc = child_base + slot0
+
+        # ---------------- tri leaf: 8 inline world-space triangles ---------
+        is_tri = active & (kind == KIND_TRIS)
+        count = _i32(rowT[1])
+        tri_base = _i32(rowT[2])
+        inst_t = _i32(rowT[3])
+        not_ign = inst_t != ignored_prim
+        tri_ok = is_tri & not_ign
+        any_leaf_hit = jnp.zeros_like(is_tri)
+        for k in range(WIDE_LEAF):
+            s = 8 + 9 * k
+            a = Vec3(rowT[s], rowT[s + 1], rowT[s + 2])
+            e1 = Vec3(rowT[s + 3], rowT[s + 4], rowT[s + 5])
+            e2 = Vec3(rowT[s + 6], rowT[s + 7], rowT[s + 8])
+            pvec = Vec3(d.y * e2.z - d.z * e2.y,
+                        d.z * e2.x - d.x * e2.z,
+                        d.x * e2.y - d.y * e2.x)
+            det = dot(e1, pvec)
+            ok = (det <= -intersect.TRI_EPS) | (det >= intersect.TRI_EPS)
+            inv_det = 1.0 / jnp.where(ok, det, 1.0)
+            tvec = o - a
+            v_ = dot(tvec, pvec) * inv_det
+            ok = ok & (v_ >= 0.0) & (v_ <= 1.0)
+            qvec = Vec3(tvec.y * e1.z - tvec.z * e1.y,
+                        tvec.z * e1.x - tvec.x * e1.z,
+                        tvec.x * e1.y - tvec.y * e1.x)
+            w_ = dot(d, qvec) * inv_det
+            ok = ok & (w_ >= 0.0) & (v_ + w_ <= 1.0)
+            t_new = dot(e2, qvec) * inv_det
+            ok = ok & (t_new >= intersect.TRI_EPS) & (t >= t_new)
+            h = ok & tri_ok & (k < count)
+            t = jnp.where(h, t_new, t)
+            prim = jnp.where(h, inst_t, prim)
+            tri = jnp.where(h, tri_base + k, tri)
+            bv = jnp.where(h, v_, bv)
+            bw = jnp.where(h, w_, bw)
+            any_leaf_hit = any_leaf_hit | h
+
+        # ---------------- analytic prim row --------------------------------
+        is_prim = active & (kind == KIND_PRIM)
+        prim_id = _i32(rowT[1])
+        ptype = _i32(rowT[2])
+        mi = [rowT[4 + i] for i in range(12)]  # inline (3,4) inverse rows
+        os_o = Vec3(mi[0] * o.x + mi[1] * o.y + mi[2] * o.z + mi[3],
+                    mi[4] * o.x + mi[5] * o.y + mi[6] * o.z + mi[7],
+                    mi[8] * o.x + mi[9] * o.y + mi[10] * o.z + mi[11])
+        os_d = Vec3(mi[0] * d.x + mi[1] * d.y + mi[2] * d.z,
+                    mi[4] * d.x + mi[5] * d.y + mi[6] * d.z,
+                    mi[8] * d.x + mi[9] * d.y + mi[10] * d.z)
+        hs, ts_ = intersect.sphere(os_o, os_d, rowT[16], t)
+        hb, tb_ = intersect.box(os_o, os_d,
+                                Vec3(rowT[17], rowT[18], rowT[19]), t)
+        sph = ptype == PRIM_SPHERE
+        prim_hit = is_prim & (prim_id != ignored_prim) & jnp.where(sph, hs, hb)
+        t = jnp.where(prim_hit, jnp.where(sph, ts_, tb_), t)
+        prim = jnp.where(prim_hit, prim_id, prim)
+        tri = jnp.where(prim_hit, -1, tri)
+        hit_now = any_leaf_hit | prim_hit
+
+        # ---------------- pop: deepest unexhausted stack level -------------
+        has = jnp.bitwise_and(seqs, 0xF) != 0xF  # (D, nc)
+        eligible = has & (lanes <= level[None, :])
+        l_star = jnp.max(jnp.where(eligible, lanes, -1), axis=0)  # (nc,)
+        found = l_star >= 0
+        oh = lanes == l_star[None, :]
+        seq_l = jnp.sum(jnp.where(oh, seqs, 0), axis=0)
+        base_l = jnp.sum(jnp.where(oh, bases, 0), axis=0)
+        c_pop = jnp.bitwise_and(seq_l, 0xF)
+        need_pop = active & ~descend
+        seqs = jnp.where(need_pop[None, :] & oh, (seq_l >> 4)[None, :], seqs)
+        level = jnp.where(need_pop, jnp.where(found, l_star, level), level)
+        cur_pop = jnp.where(found, base_l + c_pop, DONE)
+
+        cur = jnp.where(descend, cur_desc, cur_pop)
+        if occlusion:
+            cur = jnp.where(hit_now, DONE, cur)
+        cur = jnp.where(active, cur, DONE)
+
+        nv = nv + jnp.sum(active.astype(jnp.int32))
+        tt = tt + jnp.sum(jnp.where(tri_ok, jnp.minimum(count, WIDE_LEAF), 0))
+        return (cur, level, seqs, bases, t, prim, tri, bv, bw, nv, tt)
+
+    z32 = jnp.zeros((), jnp.int32)
+    st0 = (
+        jnp.zeros(n, jnp.int32),  # cur = root row 0
+        jnp.full(n, -1, jnp.int32),  # level: empty stack
+        jnp.full((depth,) + n, _NIB_FILL, jnp.int32),
+        jnp.zeros((depth,) + n, jnp.int32),
+        t0,
+        jnp.full(n, -1, jnp.int32),
+        jnp.full(n, -1, jnp.int32),
+        jnp.zeros(n), jnp.zeros(n), z32, z32,
+    )
+    out = jax.lax.while_loop(cond, body, st0)
+    return out[4], out[5], out[6], out[7], out[8], out[9], out[10]
+
+
+def _traverse(ps: PackedScene, o: Vec3, d: Vec3, t0, ignored_prim,
+              occlusion: bool):
+    """Chunked dispatch over the flat ray batch."""
+    depth = int(ps.wide_depth_arr.shape[0])
+    rows = ps.wide_rows
+    n = int(t0.shape[0])
+    if n <= CHUNK:
+        return _traverse_chunk(rows, depth, o, d, t0, ignored_prim, occlusion)
+
+    c = -(-n // CHUNK)
+    pad = c * CHUNK - n
+
+    def pad1(x, fill=0.0):
+        return jnp.pad(x, (0, pad), constant_values=fill).reshape(c, CHUNK)
+
+    po = Vec3(pad1(o.x), pad1(o.y), pad1(o.z))
+    pd = Vec3(pad1(d.x), pad1(d.y, 1.0), pad1(d.z))
+    pt = pad1(t0, -1.0)  # padded rays: t0 < 0 kills every hit test
+    pig = jnp.pad(ignored_prim, (0, pad), constant_values=-1).reshape(c, CHUNK)
+
+    def one(args):
+        oo_x, oo_y, oo_z, dd_x, dd_y, dd_z, tt0, ig = args
+        return _traverse_chunk(rows, depth, Vec3(oo_x, oo_y, oo_z),
+                               Vec3(dd_x, dd_y, dd_z), tt0, ig, occlusion)
+
+    t, prim, tri, bv, bw, nv, tt = jax.lax.map(
+        one, (po.x, po.y, po.z, pd.x, pd.y, pd.z, pt, pig))
+
+    def unpad(x):
+        return x.reshape(-1)[:n]
+
+    return (unpad(t), unpad(prim), unpad(tri), unpad(bv), unpad(bw),
+            jnp.sum(nv), jnp.sum(tt))
+
+
+def intersect_shadow_ray(ps: PackedScene, ray_o: Vec3, ray_d: Vec3, max_t,
+                         ignored_prim) -> jnp.ndarray:
+    """Occlusion query (intersection.cpp:600-604). True if anything blocks."""
+    t_pl, plane_idx = _intersect_planes(ps, ray_o, ray_d, max_t)
+    t, prim, *_ = _traverse(ps, ray_o, ray_d, t_pl, ignored_prim,
+                            occlusion=True)
+    return (prim >= 0) | (plane_idx >= 0)
+
+
+def intersect_scene(ps: PackedScene, ray_o: Vec3, ray_d: Vec3,
+                    max_t=None, ignored_prim=None) -> Hit:
+    """Full closest-hit query + deferred normal (intersection.cpp:606-610)."""
+    t0 = jnp.full_like(ray_o.x, BIG_T) if max_t is None else max_t
+    if ignored_prim is None:
+        ignored_prim = jnp.full_like(t0, -1).astype(jnp.int32)
+
+    t_pl, plane_idx = _intersect_planes(ps, ray_o, ray_d, t0)
+    t, prim, tri, bv, bw, nv, tt = _traverse(
+        ps, ray_o, ray_d, t_pl, ignored_prim, occlusion=False)
+
+    n_prims = int(ps.prim_type.shape[0])
+    plane_won = (plane_idx >= 0) & (prim < 0)
+    hit_id = jnp.where(prim >= 0, prim,
+                       jnp.where(plane_won, n_prims + plane_idx, -1))
+    hit_p = ray_o + ray_d * t
+
+    # ---- deferred normal (":NormalCalculation", intersection.cpp:526-591) --
+    primc = jnp.maximum(prim, 0)
+    ptypes = ps.prim_type[primc]
+    # gather the (nc, 12) inverse transforms, then MXU-transpose to (12, nc)
+    # so the 12 per-field reads are sublane slices (same layout trick as the
+    # traversal loop; a direct column extraction costs a full-array lane
+    # relayout per field)
+    mT = jax.lax.dot_general(
+        jnp.eye(12, dtype=jnp.float32), ps.prim_inv[primc],
+        (((1,), (1,)), ((), ())),
+        precision=jax.lax.Precision.HIGHEST,
+        preferred_element_type=jnp.float32)
+    mi = [mT[i] for i in range(12)]
+
+    def _pt(p):
+        return Vec3(mi[0] * p.x + mi[1] * p.y + mi[2] * p.z + mi[3],
+                    mi[4] * p.x + mi[5] * p.y + mi[6] * p.z + mi[7],
+                    mi[8] * p.x + mi[9] * p.y + mi[10] * p.z + mi[11])
+
+    def _vec(v):
+        return Vec3(mi[0] * v.x + mi[1] * v.y + mi[2] * v.z,
+                    mi[4] * v.x + mi[5] * v.y + mi[6] * v.z,
+                    mi[8] * v.x + mi[9] * v.y + mi[10] * v.z)
+
+    def _nrm(nn):  # inverse-transpose: transpose of the gathered INVERSE 3x3
+        return Vec3(mi[0] * nn.x + mi[4] * nn.y + mi[8] * nn.z,
+                    mi[1] * nn.x + mi[5] * nn.y + mi[9] * nn.z,
+                    mi[2] * nn.x + mi[6] * nn.y + mi[10] * nn.z)
+
+    # sphere/box: object-space normal via inverse transform, back by inv-T
+    os_o = _pt(ray_o)
+    os_d = _vec(ray_d)
+    os_hit_p = os_o + os_d * t
+    n_sphere = os_hit_p
+    box_r = _gather_v3(ps.prim_box_r, primc)
+    rel = Vec3(os_hit_p.x / jnp.maximum(box_r.x, 1e-30),
+               os_hit_p.y / jnp.maximum(box_r.y, 1e-30),
+               os_hit_p.z / jnp.maximum(box_r.z, 1e-30))
+    ax_, ay_, az_ = jnp.abs(rel.x), jnp.abs(rel.y), jnp.abs(rel.z)
+    x_big = (ax_ >= ay_) & (ax_ >= az_)
+    y_big = ~x_big & (ay_ >= az_)
+    n_box = Vec3(
+        jnp.where(x_big, jnp.sign(rel.x), 0.0),
+        jnp.where(y_big, jnp.sign(rel.y), 0.0),
+        jnp.where(x_big | y_big, 0.0, jnp.sign(rel.z)),
+    )
+    n_ana = vwhere(ptypes == PRIM_SPHERE, n_sphere, n_box)
+    n_ana_world = noz(_nrm(n_ana))
+
+    # mesh: world-space data directly (pre-transformed at pack)
+    tric = jnp.maximum(tri, 0)
+    bu = 1.0 - bv - bw
+    na = _gather_v3(ps.wtri_na, tric)
+    nb = _gather_v3(ps.wtri_nb, tric)
+    nc = _gather_v3(ps.wtri_nc, tric)
+    n_smooth = noz(na * bu + nb * bv + nc * bw)
+    n_geom = _gather_v3(ps.wtri_ng, tric)
+    n_mesh = vwhere(ps.wtri_has_n[tric] & (tri >= 0), n_smooth, n_geom)
+
+    is_mesh = tri >= 0
+    n_world = vwhere(is_mesh, n_mesh, n_ana_world)
+
+    plc = jnp.maximum(plane_idx, 0)
+    n_world = vwhere(plane_won, _gather_v3(ps.plane_n, plc), n_world)
+
+    mat_id = jnp.where(prim >= 0, ps.prim_mat[primc],
+                       jnp.where(plane_won, ps.plane_mat[plc], 0))
+
+    return Hit(t=t, hit_id=hit_id, mat_id=mat_id,
+               tri=jnp.where(prim >= 0, tri, -1),
+               bary_v=bv, bary_w=bw, p=hit_p, n=n_world,
+               node_visits=nv, tri_tests=tt)

@@ -1,0 +1,330 @@
+"""8-wide BVH with self-describing 512-byte rows — the TPU-first traversal
+acceleration structure.
+
+Why not the reference's binary stack BVH (bvh.cpp:222-287) or this repo's
+first threaded skip-link layout: a lockstep ray batch pays for the WORST ray
+each ``while_loop`` iteration, and a binary tree advances one node per
+iteration with ~6 separate gathers (AABB, kind, links, transform, triangles).
+The wide layout fixes both:
+
+  * each iteration gathers exactly ONE (1,128)-float row per ray and does
+    dense VPU work on it — an internal row tests 8 child AABBs, a leaf row
+    tests 8 world-space triangles, a prim row intersects an analytic
+    primitive via its inline inverse transform;
+  * 8-wide branching shrinks the visit count (and its batch variance) by
+    ~3-5x vs binary, so the lockstep loop runs far fewer iterations;
+  * children are visited nearest-first: hit distances are sorted with an
+    8-element Batcher network and pushed as a nibble sequence, so closer
+    geometry is found early and farther subtrees prune on the t test;
+  * mesh triangles are pre-transformed to WORLD space per instance at pack
+    time, eliminating the per-iteration object-space ray transform the
+    reference does per BVH leaf (intersection.cpp:472).
+
+Row encoding (float32[64] per row; integer lanes hold exact float values):
+  lane 0           kind: 0=internal, 1=tri leaf, 2=analytic prim, 3=empty
+  internal         lane 1: child_base (children at child_base+0..7)
+                   lanes 2+6c..7+6c: child c AABB lo.xyz, hi.xyz (world, padded)
+  tri leaf         lane 1: count (<=6), lane 2: tri_base (global world-tri id),
+                   lane 3: owning prim id (light-exclusion parity),
+                   lanes 8+9k..16+9k: triangle k  a.xyz, e1.xyz, e2.xyz (world)
+  prim             lane 1: prim id, lane 2: prim type, lanes 4..15: inverse
+                   transform (3,4) row-major, lane 16: sphere radius,
+                   lanes 17..19: box half extents
+
+Builder: binary binned-SAH trees (ops/bvh.py / native C++) are collapsed
+top-down into wide nodes by repeatedly expanding the largest-surface-area
+candidate (the standard wide-BVH collapse), grafting TLAS and per-instance
+mesh subtrees into one row table.
+"""
+
+from __future__ import annotations
+
+from dataclasses import dataclass
+from typing import List, Optional
+
+import numpy as np
+
+from . import bvh as bvh_mod
+
+WIDE = 8
+WIDE_LEAF = 6  # triangles per leaf row (2 + 6*9 = 56 lanes fits ROW_W=64)
+
+KIND_INTERNAL = 0
+KIND_TRIS = 1
+KIND_PRIM = 2
+KIND_EMPTY = 3
+
+PAD = 1e-4  # flat-geometry AABB epsilon (see ops/bvh.py _Emitter.PAD)
+
+ROW_W = 64
+
+
+@dataclass
+class WideScene:
+    rows: np.ndarray  # (R, 128) float32 (int lanes pre-bitcast)
+    depth: int  # max wide-tree depth (stack bound for traversal)
+    # world-space per-triangle shading data, leaf-ordered globally
+    tri_ng: np.ndarray  # (T, 3) geometric normal (unit)
+    tri_na: np.ndarray  # (T, 3) smooth vertex normals (unit, zero if none)
+    tri_nb: np.ndarray
+    tri_nc: np.ndarray
+    tri_has_n: np.ndarray  # (T,) bool
+
+
+def _f(i: int) -> np.float32:
+    """Encode a small integer as its exact float32 VALUE (not a bitcast).
+
+    Bitcast patterns for small ints are float32 DENORMALS, which both XLA
+    CPU (DAZ/FTZ) and TPU hardware flush to zero once the lane passes
+    through any arithmetic-fused path — silently corrupting node metadata.
+    Exact float values are safe up to 2**24."""
+    assert 0 <= i < (1 << 24)
+    return np.float32(i)
+
+
+def _transform_points(fwd: np.ndarray, p: np.ndarray) -> np.ndarray:
+    """fwd (3,4) applied to p (...,3)."""
+    return p @ fwd[:, :3].T + fwd[:, 3]
+
+
+def _transform_aabbs(fwd: np.ndarray, lo: np.ndarray, hi: np.ndarray):
+    """All-8-corners world AABB (scene.cpp:224-236), vectorized over (N,3)."""
+    corners = np.stack([np.where([(c >> a) & 1 for a in range(3)], hi, lo)
+                        for c in range(8)], axis=0)  # (8, N, 3)
+    w = _transform_points(fwd, corners)
+    return w.min(axis=0), w.max(axis=0)
+
+
+class _Inst:
+    """One mesh instance: world AABBs per binary node + world triangles."""
+
+    def __init__(self, bnodes: bvh_mod.BuildNodes, fwd: np.ndarray,
+                 tri_base: int, prim_idx: int):
+        self.b = bnodes
+        self.prim = prim_idx
+        self.tri_base = tri_base
+        self.lo, self.hi = _transform_aabbs(fwd, bnodes.lo, bnodes.hi)
+        self.sa = _sa(self.lo, self.hi)
+
+
+def _sa(lo, hi):
+    d = np.maximum(hi - lo, 0.0)
+    return 2.0 * (d[..., 0] * d[..., 1] + d[..., 1] * d[..., 2]
+                  + d[..., 2] * d[..., 0])
+
+
+def build_wide_scene(
+    prim_type: np.ndarray,
+    prim_fwd: np.ndarray,  # (K, 3, 4)
+    prim_r: np.ndarray,
+    prim_inv: np.ndarray,  # (K, 3, 4)
+    prim_box_r: np.ndarray,
+    prim_mesh_id: np.ndarray,
+    meshes: list,  # objects with .triangles (T,3,3), .normals, .has_normals
+    real_prims: List[int],
+    item_lo: np.ndarray,  # (len(real), 3) world AABBs per real prim
+    item_hi: np.ndarray,
+    bvh_method: str = "sah_binned",
+) -> WideScene:
+    # ---- per-mesh binary BVHs at wide leaf size, shared across instances ---
+    mesh_bvhs: List[Optional[bvh_mod.BuildNodes]] = []
+    for mesh in meshes:
+        tv = np.asarray(mesh.triangles, np.float32)
+        lo = tv.min(axis=1)
+        hi = tv.max(axis=1)
+        mesh_bvhs.append(bvh_mod.build_bvh(lo, hi, bvh_method, WIDE_LEAF))
+
+    # ---- per-instance world triangle data, leaf-ordered ----
+    insts: List[_Inst] = []
+    inst_of_prim = {}
+    tri_a, tri_e1, tri_e2 = [], [], []
+    ng_l, na_l, nb_l, nc_l, has_l = [], [], [], [], []
+    tri_cursor = 0
+    for pi in real_prims:
+        mid = int(prim_mesh_id[pi])
+        if mid < 0:
+            continue
+        mesh = meshes[mid]
+        b = mesh_bvhs[mid]
+        fwd = prim_fwd[pi]
+        tv = np.asarray(mesh.triangles, np.float32)[b.order]  # leaf order
+        wa = _transform_points(fwd, tv[:, 0])
+        wb = _transform_points(fwd, tv[:, 1])
+        wc = _transform_points(fwd, tv[:, 2])
+        e1 = wb - wa
+        e2 = wc - wa
+        ng = np.cross(e1, e2)
+        ng /= np.maximum(np.linalg.norm(ng, axis=-1, keepdims=True), 1e-30)
+        if mesh.has_normals:
+            nrm = np.asarray(mesh.normals, np.float32)[b.order]
+            a_invt = prim_inv[pi][:, :3].T  # (A^-1)^T applied to normals
+            wn = nrm @ a_invt.T
+            wn /= np.maximum(np.linalg.norm(wn, axis=-1, keepdims=True), 1e-30)
+            na, nb, nc = wn[:, 0], wn[:, 1], wn[:, 2]
+            has = np.ones(len(tv), bool)
+        else:
+            na = nb = nc = np.zeros_like(wa)
+            has = np.zeros(len(tv), bool)
+        tri_a.append(wa)
+        tri_e1.append(e1)
+        tri_e2.append(e2)
+        ng_l.append(ng)
+        na_l.append(na)
+        nb_l.append(nb)
+        nc_l.append(nc)
+        has_l.append(has)
+        inst = _Inst(b, fwd, tri_cursor, pi)
+        inst_of_prim[pi] = inst
+        insts.append(inst)
+        tri_cursor += len(tv)
+
+    if tri_cursor == 0:
+        tri_a = [np.zeros((1, 3), np.float32)]
+        tri_e1 = [np.zeros((1, 3), np.float32)]
+        tri_e2 = [np.zeros((1, 3), np.float32)]
+        ng_l = [np.zeros((1, 3), np.float32)]
+        na_l = nb_l = nc_l = ng_l
+        has_l = [np.zeros(1, bool)]
+
+    # ---- TLAS over real prims (leaf size 1: wide collapse expands items) ---
+    rows: List[np.ndarray] = []
+
+    def alloc(n=1) -> int:
+        base = len(rows)
+        for _ in range(n):
+            r = np.zeros(ROW_W, np.float32)
+            r[0] = _f(KIND_EMPTY)
+            rows.append(r)
+        return base
+
+    # candidate refs: ('t', node) | ('m', inst, node) | ('p', prim_idx)
+    if len(real_prims) > 0:
+        tlas = bvh_mod.build_bvh(item_lo, item_hi, bvh_method, 1) \
+            if len(real_prims) > 1 else None
+
+        def normalize(ref):
+            """Resolve TLAS leaves to their underlying prim/mesh-root ref."""
+            if ref[0] == "t":
+                node = ref[1]
+                if tlas is None or tlas.count[node] > 0:
+                    item = 0 if tlas is None else int(
+                        tlas.order[int(tlas.left_first[node])])
+                    pi = real_prims[item]
+                    if pi in inst_of_prim:
+                        return ("m", inst_of_prim[pi], 0)
+                    return ("p", pi)
+            return ref
+
+        def expandable(ref):
+            if ref[0] == "t":
+                return True  # normalized TLAS refs are always internal
+            if ref[0] == "m":
+                return ref[1].b.count[ref[2]] == 0
+            return False
+
+        def children(ref):
+            if ref[0] == "t":
+                left = int(tlas.left_first[ref[1]])
+                return [normalize(("t", left)), normalize(("t", left + 1))]
+            inst, node = ref[1], ref[2]
+            left = int(inst.b.left_first[node])
+            return [("m", inst, left), ("m", inst, left + 1)]
+
+        def aabb_of(ref):
+            if ref[0] == "t":
+                return tlas.lo[ref[1]], tlas.hi[ref[1]]
+            if ref[0] == "m":
+                return ref[1].lo[ref[2]], ref[1].hi[ref[2]]
+            j = real_prims.index(ref[1])
+            return item_lo[j], item_hi[j]
+
+        def sa_of(ref):
+            lo, hi = aabb_of(ref)
+            return float(_sa(lo, hi))
+
+        def fill_terminal(ref, idx):
+            row = rows[idx]
+            if ref[0] == "p":
+                pi = ref[1]
+                row[0] = _f(KIND_PRIM)
+                row[1] = _f(int(pi))
+                row[2] = _f(int(prim_type[pi]))
+                row[4:16] = prim_inv[pi].reshape(12)
+                row[16] = prim_r[pi]
+                row[17:20] = prim_box_r[pi]
+                return 1
+            inst, node = ref[1], ref[2]
+            cnt = int(inst.b.count[node])
+            first = int(inst.b.left_first[node])
+            row[0] = _f(KIND_TRIS)
+            row[1] = _f(cnt)
+            row[2] = _f(inst.tri_base + first)
+            row[3] = _f(inst.prim)
+            k_inst = insts.index(inst)  # per-instance arrays, insts order
+            a = tri_a[k_inst][first:first + cnt]
+            e1 = tri_e1[k_inst][first:first + cnt]
+            e2 = tri_e2[k_inst][first:first + cnt]
+            for k in range(cnt):
+                s = 8 + 9 * k
+                row[s:s + 3] = a[k]
+                row[s + 3:s + 6] = e1[k]
+                row[s + 6:s + 9] = e2[k]
+            return 1
+
+        def emit_into(ref, idx) -> int:
+            """Fill row ``idx`` for ``ref``; returns subtree wide-depth."""
+            if not expandable(ref):
+                return fill_terminal(ref, idx)
+            cands = children(ref)
+            while len(cands) < WIDE:
+                best, best_sa = -1, -1.0
+                for ci, c in enumerate(cands):
+                    if expandable(c):
+                        s = sa_of(c)
+                        if s > best_sa:
+                            best, best_sa = ci, s
+                if best < 0:
+                    break
+                cands[best:best + 1] = children(cands[best])
+            child_base = alloc(WIDE)
+            row = rows[idx]
+            row[0] = _f(KIND_INTERNAL)
+            row[1] = _f(child_base)
+            depth = 0
+            for c_i, cand in enumerate(cands):
+                lo, hi = aabb_of(cand)
+                s = 2 + 6 * c_i
+                row[s:s + 3] = lo - PAD
+                row[s + 3:s + 6] = hi + PAD
+                depth = max(depth, emit_into(cand, child_base + c_i))
+            for c_i in range(len(cands), WIDE):
+                # empty slot: a DEGENERATE point box (lo == hi) so the strict
+                # slab test tn < tf always misses.  (An inverted box lo > hi
+                # would produce tn=-inf/tf=+inf — an always-HIT.)
+                s = 2 + 6 * c_i
+                row[s:s + 3] = 3.0e38
+                row[s + 3:s + 6] = 3.0e38
+            return depth + 1
+
+        import sys
+        old = sys.getrecursionlimit()
+        sys.setrecursionlimit(max(old, 100000))
+        try:
+            root_idx = alloc(1)
+            root = normalize(("t", 0))
+            depth = emit_into(root, root_idx)
+        finally:
+            sys.setrecursionlimit(old)
+    else:
+        alloc(1)  # empty-scene sentinel row (kind EMPTY -> immediate done)
+        depth = 1
+
+    return WideScene(
+        rows=np.stack(rows),
+        depth=max(depth, 1),
+        tri_ng=np.concatenate(ng_l),
+        tri_na=np.concatenate(na_l),
+        tri_nb=np.concatenate(nb_l),
+        tri_nc=np.concatenate(nc_l),
+        tri_has_n=np.concatenate(has_l),
+    )
