@@ -176,7 +176,12 @@ def make_sampler(x, y, sample_index, frame_entropy=0) -> Sampler:
 def _stratified_2d(s: Sampler, dim: int, u_jit, v_jit):
     """samplers.cpp:48-80: permuted stratum + jitter inside it."""
     index_offset = (jnp.uint32(73856093 * int(dim))) ^ rng.hash_coordinate_2d(s.x, s.y)
-    perm_table = jnp.asarray(_PERM_SETS)  # (256, 64)
+    # .copy(): a FRESH numpy object per trace keeps the table an embedded HLO
+    # literal.  Re-converting the same cached object returns a device array
+    # that jax 0.9.0 lifts into an executable const-ARG whose bookkeeping is
+    # inconsistent ("Execution supplied N buffers but compiled program
+    # expected M" / corrupt Lowered.in_avals).
+    perm_table = jnp.asarray(_PERM_SETS.copy())  # (256, 64)
     row = (index_offset & jnp.uint32(255)).astype(jnp.int32)
     col = (s.sample_index % jnp.uint32(STRATA_COUNT)).astype(jnp.int32)
     # stratum coords (samplers.cpp:70-74): index % 8 -> x, index / 8 -> y
@@ -189,7 +194,7 @@ def _stratified_2d(s: Sampler, dim: int, u_jit, v_jit):
 def _stratified_1d(s: Sampler, dim: int, u_jit):
     """samplers.cpp:119-135: 1-D uses the flat 64-stratum index."""
     index_offset = (jnp.uint32(73856093 * int(dim))) ^ rng.hash_coordinate_2d(s.x, s.y)
-    perm_table = jnp.asarray(_PERM_SETS)
+    perm_table = jnp.asarray(_PERM_SETS.copy())
     row = (index_offset & jnp.uint32(255)).astype(jnp.int32)
     col = (s.sample_index % jnp.uint32(STRATA_COUNT)).astype(jnp.int32)
     si = perm_table[row, col].astype(jnp.float32)

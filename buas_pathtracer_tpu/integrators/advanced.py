@@ -38,6 +38,16 @@ from .common import (evaluate_material, light_pick_pdf, pick_random_light,
 STACK_DEPTH = 8  # reference uses 64 (integrators.cpp:602); 8 covers any sane
                  # nesting at 1/8 the state memory per ray
 
+import os as _os
+
+# Per-bounce Morton ray re-sorting (below) is semantically transparent
+# (bit-identical output) but currently a net LOSS on v5e: the ~25 per-ray
+# permutation gathers inside the bounce loop cost more than the traversal
+# coherence saves (1080p bench 0.9 -> 0.3 Mrays/s).  Off by default; kept
+# behind the env flag for future revisits (state packing could make the
+# permutation one row-gather).
+SORT_RAYS = _os.environ.get("BUAS_SORT_RAYS", "0") == "1"
+
 
 def _gv(v: Vec3, i) -> Vec3:
     return Vec3(v.x[i], v.y[i], v.z[i])
@@ -64,9 +74,13 @@ def advanced(ps: PackedScene, settings: SceneSettings, sampler: smp.Sampler,
 
     def body(st):
         (bounce, alive, o, d, throughput, total, s,
-         stack, stack_at, is_specular, prev_n, stats) = st
+         stack, stack_at, is_specular, prev_n, stats, pix) = st
 
-        hit = traverse.intersect_scene(ps, o, d)
+        # dead rays get max_t = -1: the root slab test fails and they exit
+        # the lockstep traversal in one iteration instead of re-walking the
+        # BVH with stale state every remaining bounce
+        hit = traverse.intersect_scene(
+            ps, o, d, max_t=jnp.where(alive, traverse.BIG_T, -1.0))
         found = hit.valid & alive
         missed = ~hit.valid & alive
         stats = stats + jnp.array([jnp.sum(alive.astype(jnp.float32)),
@@ -185,8 +199,11 @@ def advanced(ps: PackedScene, settings: SceneSettings, sampler: smp.Sampler,
             nl_dot_l = -dot(ls.Nl, ls.L)
             facing = (n_dot_l > 0.0) & (nl_dot_l > 0.0) & do_diffuse & found & ~t_emissive
             shadow_o = hit.p + ls.L * EPSILON
+            # non-facing/dead lanes get max_t = -1 (instant exit), so they
+            # contribute no iterations to their chunk's lockstep loop
             occluded = traverse.intersect_shadow_ray(
-                ps, shadow_o, ls.L, ls.dist - 2.0 * EPSILON, light_idx)
+                ps, shadow_o, ls.L,
+                jnp.where(facing, ls.dist - 2.0 * EPSILON, -1.0), light_idx)
             visible = facing & ~occluded
             solid_angle = (nl_dot_l * ls.A) / jnp.maximum(ls.dist_sq, 1e-12)
             # light_rcp_pdf is the PICK probability (reference convention,
@@ -242,8 +259,59 @@ def advanced(ps: PackedScene, settings: SceneSettings, sampler: smp.Sampler,
         d = vwhere(cont, new_d, d)
         prev_n = vwhere(cont, N, prev_n)
         is_specular = jnp.where(cont, new_specular, is_specular)
+
+        if SORT_RAYS:
+            # Re-sort the wavefront each bounce: live rays clustered by a
+            # Morton code of the next ray origin (major) + direction octant
+            # (minor), dead rays packed last.  The chunked lockstep traversal
+            # (ops/traverse_wide.py) pays max-iterations PER CHUNK, so
+            # spatially-and-directionally coherent chunks retire fast and
+            # whole chunks of dead rays exit in one iteration; `pix` carries
+            # the original ray slot so callers can unsort at the end.  Pure
+            # permutation of per-ray state — results are bit-identical.
+            # (Octant-only keys are a 3x REGRESSION: they shuffle spatially
+            # random rays into each chunk and every chunk then walks the
+            # whole scene.)
+            slo, shi = ps.scene_lo, ps.scene_hi
+            ext = jnp.maximum(shi - slo, 1e-6)
+
+            def q6(c, lo_c, ext_c):  # 6-bit quantized axis
+                return jnp.clip(((c - lo_c) / ext_c * 64.0), 0.0, 63.0
+                                ).astype(jnp.int32)
+
+            def spread3(v):  # interleave 6 bits -> every 3rd bit (Morton)
+                v = (v | (v << 8)) & 0x0300F
+                v = (v | (v << 4)) & 0x030C3
+                v = (v | (v << 2)) & 0x09249
+                return v
+
+            mx = spread3(q6(o.x, slo[0], ext[0]))
+            my = spread3(q6(o.y, slo[1], ext[1]))
+            mz = spread3(q6(o.z, slo[2], ext[2]))
+            morton = mx | (my << 1) | (mz << 2)  # 18 bits
+            oct_ = ((d.x < 0).astype(jnp.int32) * 4
+                    + (d.y < 0).astype(jnp.int32) * 2
+                    + (d.z < 0).astype(jnp.int32))
+            key = jnp.where(cont, (morton << 3) | oct_, jnp.int32(1 << 22))
+            perm = jnp.argsort(key, stable=True)
+
+            def g(a):
+                return a[perm]
+
+            cont = g(cont)
+            o = Vec3(g(o.x), g(o.y), g(o.z))
+            d = Vec3(g(d.x), g(d.y), g(d.z))
+            throughput = Vec3(g(throughput.x), g(throughput.y), g(throughput.z))
+            total = Vec3(g(total.x), g(total.y), g(total.z))
+            s = jax.tree.map(lambda a: g(a) if getattr(a, "ndim", 0) > 0 else a, s)
+            stack = g(stack)
+            stack_at = g(stack_at)
+            is_specular = g(is_specular)
+            prev_n = Vec3(g(prev_n.x), g(prev_n.y), g(prev_n.z))
+            pix = g(pix)
+
         return (bounce + 1, cont, o, d, throughput, total, s,
-                stack, stack_at, is_specular, prev_n, stats)
+                stack, stack_at, is_specular, prev_n, stats, pix)
 
     st0 = (
         jnp.zeros((), jnp.int32),
@@ -257,8 +325,14 @@ def advanced(ps: PackedScene, settings: SceneSettings, sampler: smp.Sampler,
         jnp.ones(n, bool),  # is_specular_bounce starts true (:615)
         zeros(n),
         jnp.zeros(3),  # stats: [rays, node_visits, tri_tests]
+        jnp.arange(n[0] if n else 0, dtype=jnp.int32),  # original ray slot
     )
     out = jax.lax.while_loop(cond, body, st0)
     total = out[5]
     s = out[6]
+    if SORT_RAYS:
+        # undo the per-bounce permutations: ray at slot i carries pix[i]
+        inv = jnp.argsort(out[12])
+        total = Vec3(total.x[inv], total.y[inv], total.z[inv])
+        s = jax.tree.map(lambda a: a[inv] if getattr(a, "ndim", 0) > 0 else a, s)
     return total, s, out[11]

@@ -37,7 +37,8 @@ def ground_truth_iterative(ps: PackedScene, settings: SceneSettings,
 
     def body(st):
         bounce, alive, o, d, throughput, total, state, stats = st
-        hit = traverse.intersect_scene(ps, o, d)
+        hit = traverse.intersect_scene(
+            ps, o, d, max_t=jnp.where(alive, traverse.BIG_T, -1.0))
         stats = stats + jnp.array([jnp.sum(alive.astype(jnp.float32)),
                                    hit.node_visits.astype(jnp.float32),
                                    hit.tri_tests.astype(jnp.float32)])

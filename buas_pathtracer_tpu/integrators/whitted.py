@@ -49,7 +49,8 @@ def whitted(ps: PackedScene, settings: SceneSettings, sampler: smp.Sampler,
     def body(st):
         bounce, alive, o, d, throughput, total, s, prev_mat, stats = st
 
-        hit = traverse.intersect_scene(ps, o, d)
+        hit = traverse.intersect_scene(
+            ps, o, d, max_t=jnp.where(alive, traverse.BIG_T, -1.0))
         found = hit.valid & alive
         missed = ~hit.valid & alive
         stats = stats + jnp.array([jnp.sum(alive.astype(jnp.float32)),
@@ -89,7 +90,8 @@ def whitted(ps: PackedScene, settings: SceneSettings, sampler: smp.Sampler,
             nl_dot_l = -dot(ls.Nl, ls.L)
             facing = (n_dot_l > 0.0) & (nl_dot_l > 0.0) & found & ~emissive
             occ = traverse.intersect_shadow_ray(
-                ps, hit.p + ls.L * EPSILON, ls.L, ls.dist - 2.0 * EPSILON, light_idx)
+                ps, hit.p + ls.L * EPSILON, ls.L,
+                jnp.where(facing, ls.dist - 2.0 * EPSILON, -1.0), light_idx)
             lemit = _gv(ps.mat_emission, ps.prim_mat[light_idx])
             c = lemit * (nl_dot_l * ls.A * n_dot_l / jnp.maximum(ls.dist_sq, 1e-12))
             illum = vwhere(facing & ~occ, illum + c, illum)

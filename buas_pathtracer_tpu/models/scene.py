@@ -127,8 +127,10 @@ class PackedScene(NamedTuple):
     node_inst: jnp.ndarray  # (N,) int32
 
     # 8-wide row BVH (ops/wide_bvh.py) — the hot traversal path
-    wide_rows: jnp.ndarray  # (R, 128) float32, int lanes bitcast
+    wide_rows: jnp.ndarray  # (R, 64) float32, int lanes as exact float values
     wide_depth_arr: jnp.ndarray  # (D,) dummy; D = static stack bound
+    scene_lo: jnp.ndarray  # (3,) world AABB of all non-plane geometry
+    scene_hi: jnp.ndarray  # (3,) (ray-sorting Morton quantization bounds)
     # world-space per-triangle shading data, wide-leaf-ordered (Tw>=1)
     wtri_ng: Vec3
     wtri_na: Vec3
@@ -317,8 +319,15 @@ class Scene:
             a = jnp.asarray(a)
             return Vec3(a[..., 0], a[..., 1], a[..., 2])
 
-        def S(c):  # scalar color tuple -> Vec3 of python floats
-            return Vec3(float(c[0]), float(c[1]), float(c[2]))
+        def S(c):  # scalar color tuple -> Vec3 of distinct 0-d arrays.
+            # Python-float leaves hit jax's scalar-conversion cache: equal
+            # values alias ONE device buffer across many pytree leaves, and
+            # executables with donated inputs then see fewer runtime buffers
+            # than they were compiled for ("supplied 72 buffers but expected
+            # 81").  np.array -> device_put makes each leaf its own buffer.
+            return Vec3(jnp.asarray(np.array(c[0], np.float32)),
+                        jnp.asarray(np.array(c[1], np.float32)),
+                        jnp.asarray(np.array(c[2], np.float32)))
 
         return PackedScene(
             mat_flags=jnp.asarray(mflags),
@@ -342,6 +351,7 @@ class Scene:
             node_inst=jnp.asarray(threaded.inst),
             wide_rows=jnp.asarray(wide.rows),
             wide_depth_arr=jnp.zeros(wide.depth, jnp.int32),
+            scene_lo=jnp.asarray(wide.scene_lo), scene_hi=jnp.asarray(wide.scene_hi),
             wtri_ng=V(wide.tri_ng), wtri_na=V(wide.tri_na),
             wtri_nb=V(wide.tri_nb), wtri_nc=V(wide.tri_nc),
             wtri_has_n=jnp.asarray(wide.tri_has_n),

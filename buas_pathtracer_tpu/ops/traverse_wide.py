@@ -1,7 +1,7 @@
 """Lockstep traversal of the 8-wide row BVH (ops/wide_bvh.py).
 
 Replaces ops/traverse.py's threaded binary walk on the hot path.  Per
-``while_loop`` iteration each ray gathers exactly ONE (1,128)-float row and
+``while_loop`` iteration each ray gathers exactly ONE 64-float row and
 does dense VPU work on it; descent is nearest-first via an 8-key Batcher
 sorting network, and backtracking resolves in the same iteration by scanning
 the per-level nibble stack for the deepest unexhausted entry — there are no

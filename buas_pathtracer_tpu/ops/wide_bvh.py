@@ -61,8 +61,10 @@ ROW_W = 64
 
 @dataclass
 class WideScene:
-    rows: np.ndarray  # (R, 128) float32 (int lanes pre-bitcast)
+    rows: np.ndarray  # (R, ROW_W) float32 (int lanes as exact float values)
     depth: int  # max wide-tree depth (stack bound for traversal)
+    scene_lo: np.ndarray  # (3,) world bounds of all non-plane geometry
+    scene_hi: np.ndarray
     # world-space per-triangle shading data, leaf-ordered globally
     tri_ng: np.ndarray  # (T, 3) geometric normal (unit)
     tri_na: np.ndarray  # (T, 3) smooth vertex normals (unit, zero if none)
@@ -319,9 +321,17 @@ def build_wide_scene(
         alloc(1)  # empty-scene sentinel row (kind EMPTY -> immediate done)
         depth = 1
 
+    if len(real_prims) > 0:
+        scene_lo = item_lo.min(axis=0).astype(np.float32)
+        scene_hi = item_hi.max(axis=0).astype(np.float32)
+    else:
+        scene_lo = np.zeros(3, np.float32)
+        scene_hi = np.ones(3, np.float32)
     return WideScene(
         rows=np.stack(rows),
         depth=max(depth, 1),
+        scene_lo=scene_lo,
+        scene_hi=scene_hi,
         tri_ng=np.concatenate(ng_l),
         tri_na=np.concatenate(na_l),
         tri_nb=np.concatenate(nb_l),

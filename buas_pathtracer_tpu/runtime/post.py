@@ -80,7 +80,7 @@ def post_process(accum: jnp.ndarray, settings: PostProcessSettings,
     color = color * 255.0
 
     if settings.dither:
-        tile = jnp.asarray(_dither_tile(64))  # (64, 64, 3)
+        tile = jnp.asarray(_dither_tile(64).copy())  # (64, 64, 3); .copy(): keep it an embedded literal (see core/sampler.py)
         ty = jnp.arange(h) % 64
         tx = jnp.arange(w) % 64
         d = tile[ty[:, None], tx[None, :]]  # (H, W, 3)

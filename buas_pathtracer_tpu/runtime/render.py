@@ -63,7 +63,16 @@ def render_frame_impl(ps: PackedScene, settings: SceneSettings, cam: Camera,
     px = px_.reshape(-1)
     py = py_.reshape(-1)
 
-    stats = jnp.zeros(3)  # [rays traced, BVH node visits, triangle tests]
+    # Anchor EVERY input leaf into the jaxpr (multiplied by zero, so XLA DCEs
+    # the arithmetic but keeps the parameters).  jax 0.9.0's dead-argument
+    # pruning sporadically disagrees with the lowered executable's parameter
+    # list for this program ("Execution supplied N buffers but compiled
+    # program expected M"); with no prunable args the counts always match.
+    anchor = jnp.float32(0.0)
+    for leaf in jax.tree.leaves((ps, cam, frame_index)):
+        anchor = anchor + 0.0 * jnp.asarray(leaf, jnp.float32).reshape(-1)[0]
+
+    stats = jnp.zeros(3) + anchor  # [rays, BVH node visits, triangle tests]
     for s_i in range(int(settings.samples_per_pixel)):
         sample_index = frame_index + s_i
         sampler = smp.make_sampler(px, py, sample_index)
@@ -96,9 +105,64 @@ def render_frame_impl(ps: PackedScene, settings: SceneSettings, cam: Camera,
     return accum, stats
 
 
-render_frame = partial(jax.jit, static_argnames=("settings", "h", "w", "n_lights",
-                                                 "filter_name"),
-                       donate_argnames=("accum",))(render_frame_impl)
+_render_frame_jit = partial(jax.jit,
+                            static_argnames=("settings", "h", "w", "n_lights",
+                                             "filter_name"),
+                            donate_argnames=("accum",))(render_frame_impl)
+
+
+_aot_cache = {}
+
+
+def render_frame(ps, settings, cam, accum, frame_index, *, h, w, n_lights,
+                 filter_name="Mitchell Netravali"):
+    """Jitted frame step.
+
+    Camera python-float leaves are converted to distinct 0-d device arrays
+    first (equal-valued float scalars hit jax's conversion cache and alias
+    one buffer across pytree leaves).  jax 0.9.0's fast dispatch path
+    sporadically miscounts executable parameters for this program
+    ("Execution supplied N buffers but compiled program expected M") — AOT
+    lower/compile/execute of the same program is unaffected, so on that
+    specific ValueError we fall back to a cached AOT executable."""
+    import numpy as _np
+    cam = jax.tree.map(
+        lambda v: jnp.asarray(_np.array(v, _np.float32))
+        if isinstance(v, (float, int)) else v, cam)
+    try:
+        return _render_frame_jit(ps, settings, cam, accum, frame_index,
+                                 h=h, w=w, n_lights=n_lights,
+                                 filter_name=filter_name)
+    except (ValueError, TypeError) as e:
+        if ("buffers but compiled program expected" not in str(e)
+                and "inputs but called with" not in str(e)):
+            raise
+        # jax 0.9.0 sporadically loses track of trace-captured constants that
+        # its lowering lifted into executable parameters (count mismatch at
+        # dispatch).  Recover by re-tracing to a jaxpr and re-jitting
+        # eval_jaxpr with the constants passed as EXPLICIT arguments, so the
+        # program has no captured constants at all.
+        key = (settings, h, w, n_lights, filter_name,
+               tuple((tuple(l.shape), str(l.dtype))
+                     for l in jax.tree.leaves((ps, cam, accum, frame_index))))
+        if key not in _aot_cache:
+            def fn(ps_, cam_, acc_, fi_):
+                return render_frame_impl(ps_, settings, cam_, acc_, fi_,
+                                         h=h, w=w, n_lights=n_lights,
+                                         filter_name=filter_name)
+            closed = jax.make_jaxpr(fn)(ps, cam, accum, frame_index)
+            jaxpr = closed.jaxpr
+
+            @jax.jit
+            def runner(consts_, args_):
+                return jax.core.eval_jaxpr(jaxpr, consts_, *args_)
+
+            out_tree = jax.tree.structure(
+                jax.eval_shape(fn, ps, cam, accum, frame_index))
+            _aot_cache[key] = (runner, list(closed.consts), out_tree)
+        runner, consts, out_tree = _aot_cache[key]
+        flat_in = tuple(jax.tree.leaves((ps, cam, accum, frame_index)))
+        return jax.tree.unflatten(out_tree, runner(consts, flat_in))
 
 
 def render(scene: Scene, w: int, h: int, frames: int = 1,
