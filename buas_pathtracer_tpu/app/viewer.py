@@ -40,6 +40,7 @@ from ..models.scenes import SCENES, load_scene
 from ..ops.filters import FILTERS
 from ..runtime.progressive import ProgressiveRenderer
 from ..runtime.render import INTEGRATORS
+from ..utils.timing import FrameHistory
 
 
 def png_bytes(rgb: np.ndarray) -> bytes:
@@ -70,6 +71,7 @@ class ViewerState:
         self.y_velocity = 0.0
         self.frame_png = png_bytes(np.zeros((h, w, 3), np.uint8))
         self.frame_ms = 0.0
+        self.history = FrameHistory()  # 15-slot min/avg/max (raytracer.cpp:768-792)
         self.running = True
         self.picture_request = None  # (spp, path)
         self.picture_progress = None
@@ -193,6 +195,7 @@ class ViewerState:
             png = png_bytes(np.ascontiguousarray(img))
             with self.lock:
                 self.frame_ms = (time.perf_counter() - t0) * 1e3
+                self.history.push(self.frame_ms / 1e3)
                 self.frame_png = png
 
     def stats(self) -> dict:
@@ -202,6 +205,7 @@ class ViewerState:
             "scene": self.scene_name,
             "spp": r.frame_count,
             "frame_ms": round(self.frame_ms, 1),
+            "title": self.history.title_line(r.frame_count),
             "mrays_per_s": round(float(s[0]) / max(self.frame_ms, 1e-3) / 1e3, 3),
             "rays": float(s[0]),
             "node_visits": float(s[1]),

@@ -316,8 +316,13 @@ class Scene:
             cdf_c = np.zeros((1, 2), np.float32)
 
         def V(a):  # (X,3) -> Vec3 of jnp arrays
-            a = jnp.asarray(a)
-            return Vec3(a[..., 0], a[..., 1], a[..., 2])
+            # slice in NUMPY: jnp slicing here is an eager device op whose
+            # per-shape compilation dominates pack time for large meshes
+            # (~1.4 s per unique shape over the axon backend)
+            a = np.asarray(a)
+            return Vec3(jnp.asarray(np.ascontiguousarray(a[..., 0])),
+                        jnp.asarray(np.ascontiguousarray(a[..., 1])),
+                        jnp.asarray(np.ascontiguousarray(a[..., 2])))
 
         def S(c):  # scalar color tuple -> Vec3 of distinct 0-d arrays.
             # Python-float leaves hit jax's scalar-conversion cache: equal

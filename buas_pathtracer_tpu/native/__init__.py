@@ -24,7 +24,7 @@ import numpy as np
 _DIR = os.path.dirname(os.path.abspath(__file__))
 _SRC = os.path.join(_DIR, "src")
 _SO = os.path.join(_DIR, "libbuas_native.so")
-_SOURCES = ["bvh_builder.cpp", "obj_parser.cpp"]
+_SOURCES = ["bvh_builder.cpp", "obj_parser.cpp", "wide_collapse.cpp"]
 
 _lock = threading.Lock()
 _lib = None
@@ -89,6 +89,15 @@ def _load():
                                   ctypes.c_void_p]
         lib.obj_release.restype = None
         lib.obj_release.argtypes = [ctypes.c_void_p]
+        lib.wide_collapse.restype = ctypes.c_void_p
+        lib.wide_collapse.argtypes = [
+            f32p, f32p, i32p, i32p, ctypes.c_int32, f32p, f32p, f32p,
+            ctypes.c_int32, ctypes.c_int32, ctypes.c_int32, ctypes.c_float,
+            ctypes.POINTER(ctypes.c_int32), ctypes.POINTER(ctypes.c_int32)]
+        lib.wide_fetch.restype = None
+        lib.wide_fetch.argtypes = [ctypes.c_void_p, f32p]
+        lib.wide_release.restype = None
+        lib.wide_release.argtypes = [ctypes.c_void_p]
         lib.hdr_decode.restype = ctypes.c_int32
         lib.hdr_decode.argtypes = [u8p, ctypes.c_int64, ctypes.c_int32,
                                    ctypes.c_int32, u8p]
@@ -182,3 +191,33 @@ def hdr_decode_native(payload: bytes, w: int, h: int):
     out = np.zeros((h, w, 4), np.uint8)
     rc = lib.hdr_decode(np.ascontiguousarray(buf), len(buf), w, h, out)
     return out if rc == 0 else None
+
+
+def wide_collapse_native(world_lo, world_hi, left_first, count, root: int,
+                         tri_a, tri_e1, tri_e2, tri_base: int, inst: int,
+                         row_base: int, pad: float):
+    """C++ wide-BVH subtree collapse (native/src/wide_collapse.cpp).
+
+    Returns ((n_rows, 64) float32 rows, depth) with the subtree root at local
+    row 0 and child links pre-offset by ``row_base`` — or None if the native
+    lib is unavailable."""
+    lib = _load()
+    if lib is None:
+        return None
+    n_rows = ctypes.c_int32(0)
+    depth = ctypes.c_int32(0)
+    h = lib.wide_collapse(
+        np.ascontiguousarray(world_lo, np.float32),
+        np.ascontiguousarray(world_hi, np.float32),
+        np.ascontiguousarray(left_first, np.int32),
+        np.ascontiguousarray(count, np.int32),
+        int(root),
+        np.ascontiguousarray(tri_a, np.float32),
+        np.ascontiguousarray(tri_e1, np.float32),
+        np.ascontiguousarray(tri_e2, np.float32),
+        int(tri_base), int(inst), int(row_base), float(pad),
+        ctypes.byref(n_rows), ctypes.byref(depth))
+    rows = np.empty((n_rows.value, 64), np.float32)
+    lib.wide_fetch(h, rows)
+    lib.wide_release(h)
+    return rows, depth.value

@@ -273,8 +273,32 @@ def build_wide_scene(
                 row[s + 6:s + 9] = e2[k]
             return 1
 
+        def emit_mesh_native(ref, idx) -> Optional[int]:
+            """C++ fast path for a whole mesh subtree (wide_collapse.cpp).
+
+            The native block's local row 0 is the subtree root; it replaces
+            the already-allocated row ``idx`` and rows 1.. are appended, so
+            links are pre-offset by len(rows)-1."""
+            from ..native import wide_collapse_native
+            inst, node = ref[1], ref[2]
+            k_inst = insts.index(inst)
+            res = wide_collapse_native(
+                inst.lo, inst.hi, inst.b.left_first, inst.b.count, node,
+                tri_a[k_inst], tri_e1[k_inst], tri_e2[k_inst],
+                inst.tri_base, inst.prim, len(rows) - 1, PAD)
+            if res is None:
+                return None
+            block, depth = res
+            rows[idx] = block[0]
+            rows.extend(block[1:])
+            return depth
+
         def emit_into(ref, idx) -> int:
             """Fill row ``idx`` for ``ref``; returns subtree wide-depth."""
+            if ref[0] == "m":
+                d = emit_mesh_native(ref, idx)
+                if d is not None:
+                    return d
             if not expandable(ref):
                 return fill_terminal(ref, idx)
             cands = children(ref)
