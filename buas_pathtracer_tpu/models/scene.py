@@ -232,6 +232,17 @@ class Scene:
         self.meshes.append(mesh)
         return self._add_prim(PRIM_MESH, mat_id, transform, mesh_id=len(self.meshes) - 1)
 
+    def add_csg_difference(self, mat_id: int, prim_a: int, prim_b: int,
+                           transform: Optional[Affine] = None) -> int:
+        """API-parity stub for the reference's declared-but-dormant CSG
+        (add_test_difference, scene.cpp:161-171): the CSGNode type exists in
+        its enum but has NO intersection branch (intersection.cpp:475-490),
+        so CSG primitives are registered and then never hit.  Same here: the
+        primitive packs with type PRIM_CSG, a zero AABB, and no traversal
+        case."""
+        return self._add_prim(PRIM_CSG, mat_id, transform,
+                              csg_a=int(prim_a), csg_b=int(prim_b))
+
     # -- packing ------------------------------------------------------------
     def pack(self, bvh_method: str = "sah_binned") -> PackedScene:
         n_mat = len(self.materials)
