@@ -1,0 +1,151 @@
+"""Unit tests for reconstruction filters, post-processing, env-map
+importance sampling, and camera ray generation — subsystems the reference
+never unit-tests (SURVEY §4: its strategy is visual debugging only)."""
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+import pytest
+
+from buas_pathtracer_tpu.models.scene import PostProcessSettings
+from buas_pathtracer_tpu.ops import envmap, filters
+from buas_pathtracer_tpu.runtime import post
+
+
+class TestFilters:
+    def test_registry_has_reference_eight(self):
+        names = [f.name for f in filters.FILTERS]
+        assert names == ["Box", "Gaussian 3", "Gaussian 12",
+                         "Mitchell Netravali", "Lanczos 3", "Lanczos 4",
+                         "Lanczos 6", "Lanczos 12"]
+
+    def test_find_filter_fallback(self):
+        assert filters.find_filter("nope").name == filters.FILTERS[0].name
+        assert filters.find_filter("Lanczos 6").name == "Lanczos 6"
+
+    @pytest.mark.parametrize("name", ["Gaussian 3", "Mitchell Netravali",
+                                      "Lanczos 3", "Lanczos 4"])
+    def test_kernels_symmetric_and_normalizable(self, name):
+        f = filters.find_filter(name)
+        xs = np.linspace(-f.radius, f.radius, 2001)
+        ys = np.asarray(f.f(jnp.asarray(xs)))
+        np.testing.assert_allclose(ys, ys[::-1], atol=1e-5)  # even function
+        integral = np.trapezoid(ys, xs)
+        assert 0.7 < integral < 1.3  # near-unit mass (LUT-free evaluation)
+        assert abs(float(f.f(jnp.asarray([f.radius + 0.01]))[0])) < 1e-4
+
+    def test_mitchell_matches_closed_form(self):
+        # B=C=1/3 polynomial at sample points (reconstruction_filters.cpp)
+        f = filters.find_filter("Mitchell Netravali")
+        val0 = float(f.f(jnp.asarray([0.0]))[0])
+        b = 1.0 / 3.0
+        np.testing.assert_allclose(val0, (6.0 - 2.0 * b) / 6.0, atol=1e-5)
+        assert float(f.f(jnp.asarray([1.5]))[0]) < 0  # negative lobe
+
+
+class TestPost:
+    def _accum(self, rgb, w=1.0):
+        a = np.zeros((2, 2, 4), np.float32)
+        a[..., :3] = rgb
+        a[..., 3] = w
+        return jnp.asarray(a)
+
+    def test_tonemap_and_srgb_range(self):
+        img = post.post_process(self._accum(0.18), PostProcessSettings(), 1)
+        img = np.asarray(img)
+        assert img.dtype == np.uint8
+        assert (img[..., :3] > 0).all() and (img[..., :3] < 255).all()
+
+    def test_exposure_doubles_brightness_pre_tonemap(self):
+        s0 = PostProcessSettings(tonemapping=False, srgb_transform=False,
+                                 dither=False)
+        s1 = PostProcessSettings(exposure=1.0, tonemapping=False,
+                                 srgb_transform=False, dither=False)
+        lo = np.asarray(post.post_process(self._accum(0.1), s0, 1))
+        hi = np.asarray(post.post_process(self._accum(0.1), s1, 1))
+        np.testing.assert_allclose(hi[..., :3].astype(float),
+                                   np.minimum(lo[..., :3].astype(float) * 2, 255),
+                                   atol=1.5)
+
+    def test_nan_pixels_cyan(self):
+        a = np.full((2, 2, 4), np.nan, np.float32)
+        a[..., 3] = 1.0
+        img = np.asarray(post.post_process(jnp.asarray(a),
+                                           PostProcessSettings(), 1))
+        assert (img[..., 0] == 0).all()       # R
+        assert (img[..., 1] == 255).all()     # G
+        assert (img[..., 2] == 255).all()     # B
+
+    def test_negative_weight_magenta(self):
+        a = np.zeros((2, 2, 4), np.float32)
+        a[..., 3] = -1.0
+        img = np.asarray(post.post_process(jnp.asarray(a),
+                                           PostProcessSettings(), 1))
+        assert (img[..., 0] > 0).all() and (img[..., 2] > 0).all()
+        assert (img[..., 1] == 0).all()
+
+
+class TestEnvmapSampling:
+    def test_cdf_concentrates_on_bright_texel(self):
+        env = np.full((16, 32, 3), 0.01, np.float32)
+        env[4, 20] = 500.0  # one bright texel
+        marg, cond = envmap.build_env_cdf(env)
+        u = jnp.asarray(np.random.default_rng(0).uniform(size=4096).astype(np.float32))
+        v = jnp.asarray(np.random.default_rng(1).uniform(size=4096).astype(np.float32))
+        d, pdf, rad = envmap.sample_env_direction(
+            jnp.asarray(marg), jnp.asarray(cond), jnp.asarray(env), u, v)
+        # most samples land on the bright texel -> its radiance dominates
+        frac_bright = float((np.asarray(rad.x) > 100).mean())
+        assert frac_bright > 0.9
+        assert np.isfinite(np.asarray(pdf)).all() and (np.asarray(pdf) > 0).all()
+
+    def test_pdf_integrates_to_one(self):
+        """Monte Carlo check: E[1/pdf] over CDF samples == total solid angle
+        (4*pi) within a few percent."""
+        rng = np.random.default_rng(7)
+        env = rng.uniform(0.1, 2.0, (16, 32, 3)).astype(np.float32)
+        marg, cond = envmap.build_env_cdf(env)
+        n = 65536
+        u = jnp.asarray(rng.uniform(size=n).astype(np.float32))
+        v = jnp.asarray(rng.uniform(size=n).astype(np.float32))
+        d, pdf, rad = envmap.sample_env_direction(
+            jnp.asarray(marg), jnp.asarray(cond), jnp.asarray(env), u, v)
+        est = float(np.mean(1.0 / np.asarray(pdf)))
+        assert abs(est - 4 * np.pi) / (4 * np.pi) < 0.05, est
+
+    def test_directions_unit(self):
+        env = np.ones((8, 16, 3), np.float32)
+        marg, cond = envmap.build_env_cdf(env)
+        u = jnp.asarray(np.linspace(0.01, 0.99, 128, dtype=np.float32))
+        d, pdf, rad = envmap.sample_env_direction(
+            jnp.asarray(marg), jnp.asarray(cond), jnp.asarray(env), u, u)
+        lens = np.sqrt(np.asarray(d.x)**2 + np.asarray(d.y)**2 + np.asarray(d.z)**2)
+        np.testing.assert_allclose(lens, 1.0, atol=1e-4)
+
+
+class TestCameraRays:
+    def test_center_ray_is_aim_direction(self):
+        from buas_pathtracer_tpu.models import camera as cm
+        from buas_pathtracer_tpu.models.camera import generate_rays
+        cam = cm.aim_camera_at(cm.make_camera(p=(1, 2, 3), aspect=1.0),
+                               (1, 2, 10))
+        w = h = 64
+        u = jnp.full((1,), 0.5)
+        rays = generate_rays(cam, jnp.array([w // 2], np.int32),
+                             jnp.array([h // 2], np.int32), w, h,
+                             u, u, u, u, 1.0, 0.0, 6.0, 0.5, 0.0)
+        d = np.array([float(rays.d.x[0]), float(rays.d.y[0]), float(rays.d.z[0])])
+        np.testing.assert_allclose(d / np.linalg.norm(d), [0, 0, 1], atol=0.02)
+
+    def test_vignette_max_at_center(self):
+        from buas_pathtracer_tpu.models import camera as cm
+        from buas_pathtracer_tpu.models.camera import generate_rays
+        cam = cm.make_camera(aspect=1.0)
+        w = h = 64
+        px = jnp.array([w // 2, 0], np.int32)
+        py = jnp.array([h // 2, 0], np.int32)
+        u = jnp.full((2,), 0.5)
+        rays = generate_rays(cam, px, py, w, h, u, u, u, u, 1.0, 0.0, 6.0,
+                             0.5, 1.0)
+        v = np.asarray(rays.vignette)
+        assert v[0] > v[1]  # center brighter than corner (cos^4)
