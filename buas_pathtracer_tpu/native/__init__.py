@@ -93,6 +93,7 @@ def _load():
         lib.wide_collapse.argtypes = [
             f32p, f32p, i32p, i32p, ctypes.c_int32, f32p, f32p, f32p,
             ctypes.c_int32, ctypes.c_int32, ctypes.c_int32, ctypes.c_float,
+            ctypes.c_int32, ctypes.c_int32,
             ctypes.POINTER(ctypes.c_int32), ctypes.POINTER(ctypes.c_int32)]
         lib.wide_fetch.restype = None
         lib.wide_fetch.argtypes = [ctypes.c_void_p, f32p]
@@ -195,7 +196,8 @@ def hdr_decode_native(payload: bytes, w: int, h: int):
 
 def wide_collapse_native(world_lo, world_hi, left_first, count, root: int,
                          tri_a, tri_e1, tri_e2, tri_base: int, inst: int,
-                         row_base: int, pad: float):
+                         row_base: int, pad: float, wide: int = 8,
+                         row_w: int = 64):
     """C++ wide-BVH subtree collapse (native/src/wide_collapse.cpp).
 
     Returns ((n_rows, 64) float32 rows, depth) with the subtree root at local
@@ -216,8 +218,9 @@ def wide_collapse_native(world_lo, world_hi, left_first, count, root: int,
         np.ascontiguousarray(tri_e1, np.float32),
         np.ascontiguousarray(tri_e2, np.float32),
         int(tri_base), int(inst), int(row_base), float(pad),
+        int(wide), int(row_w),
         ctypes.byref(n_rows), ctypes.byref(depth))
-    rows = np.empty((n_rows.value, 64), np.float32)
+    rows = np.empty((n_rows.value, row_w), np.float32)
     lib.wide_fetch(h, rows)
     lib.wide_release(h)
     return rows, depth.value

@@ -17,8 +17,7 @@
 
 namespace {
 
-constexpr int WIDE = 8;
-constexpr int ROW_W = 64;
+constexpr int MAX_WIDE = 16;
 constexpr int KIND_INTERNAL = 0;
 constexpr int KIND_TRIS = 1;
 constexpr int KIND_EMPTY = 3;
@@ -29,7 +28,8 @@ struct CollapseCtx {
     const float *tri_a, *tri_e1, *tri_e2;  // (T,3) world-space, leaf-ordered
     int32_t tri_base, inst, row_base;
     float pad;
-    std::vector<float> rows;       // emitted rows, ROW_W floats each
+    int wide, row_w;               // node width / floats per row
+    std::vector<float> rows;       // emitted rows, row_w floats each
 };
 
 static inline float sa(const float *lo, const float *hi) {
@@ -40,15 +40,15 @@ static inline float sa(const float *lo, const float *hi) {
 }
 
 static int32_t alloc_rows(CollapseCtx &c, int n) {
-    int32_t base = (int32_t)(c.rows.size() / ROW_W);
-    c.rows.resize(c.rows.size() + (size_t)n * ROW_W, 0.0f);
+    int32_t base = (int32_t)(c.rows.size() / c.row_w);
+    c.rows.resize(c.rows.size() + (size_t)n * c.row_w, 0.0f);
     for (int k = 0; k < n; k++)
-        c.rows[(base + k) * (size_t)ROW_W] = (float)KIND_EMPTY;
+        c.rows[(base + k) * (size_t)c.row_w] = (float)KIND_EMPTY;
     return base;
 }
 
 static void fill_leaf(CollapseCtx &c, int32_t node, int32_t idx) {
-    float *row = c.rows.data() + (size_t)idx * ROW_W;
+    float *row = c.rows.data() + (size_t)idx * c.row_w;
     int32_t cnt = c.count[node];
     int32_t first = c.left_first[node];
     row[0] = (float)KIND_TRIS;
@@ -72,11 +72,11 @@ static int emit_into(CollapseCtx &c, int32_t node, int32_t idx) {
         fill_leaf(c, node, idx);
         return 1;
     }
-    int32_t cands[WIDE];
+    int32_t cands[MAX_WIDE];
     int n_cands = 2;
     cands[0] = c.left_first[node];
     cands[1] = c.left_first[node] + 1;
-    while (n_cands < WIDE) {
+    while (n_cands < c.wide) {
         int best = -1;
         float best_sa = -1.0f;
         for (int i = 0; i < n_cands; i++) {
@@ -91,12 +91,12 @@ static int emit_into(CollapseCtx &c, int32_t node, int32_t idx) {
         cands[best] = l;
         cands[n_cands++] = l + 1;
     }
-    int32_t child_base = alloc_rows(c, WIDE);
+    int32_t child_base = alloc_rows(c, c.wide);
     {
-        float *row = c.rows.data() + (size_t)idx * ROW_W;
+        float *row = c.rows.data() + (size_t)idx * c.row_w;
         row[0] = (float)KIND_INTERNAL;
         row[1] = (float)(c.row_base + child_base);
-        for (int i = 0; i < WIDE; i++) {
+        for (int i = 0; i < c.wide; i++) {
             int s = 2 + 6 * i;
             if (i < n_cands) {
                 const float *l = c.lo + (size_t)cands[i] * 3;
@@ -133,13 +133,15 @@ void *wide_collapse(const float *world_lo, const float *world_hi,
                     const float *tri_a, const float *tri_e1,
                     const float *tri_e2,
                     int32_t tri_base, int32_t inst, int32_t row_base,
-                    float pad, int32_t *out_n_rows, int32_t *out_depth) {
+                    float pad, int32_t wide, int32_t row_w,
+                    int32_t *out_n_rows, int32_t *out_depth) {
     auto *c = new CollapseCtx{world_lo, world_hi, left_first, count,
                               tri_a, tri_e1, tri_e2,
-                              tri_base, inst, row_base, pad, {}};
+                              tri_base, inst, row_base, pad,
+                              (int)wide, (int)row_w, {}};
     alloc_rows(*c, 1);  // local row 0 = subtree root
     *out_depth = emit_into(*c, root, 0);
-    *out_n_rows = (int32_t)(c->rows.size() / ROW_W);
+    *out_n_rows = (int32_t)(c->rows.size() / c->row_w);
     return c;
 }
 

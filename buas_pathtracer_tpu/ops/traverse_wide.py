@@ -1,8 +1,8 @@
-"""Lockstep traversal of the 8-wide row BVH (ops/wide_bvh.py).
+"""Lockstep traversal of the wide row BVH (ops/wide_bvh.py; 8- or 16-wide).
 
 Replaces ops/traverse.py's threaded binary walk on the hot path.  Per
 ``while_loop`` iteration each ray gathers exactly ONE 64-float row and
-does dense VPU work on it; descent is nearest-first via an 8-key Batcher
+does dense VPU work on it; descent is nearest-first via a Batcher
 sorting network, and backtracking resolves in the same iteration by scanning
 the per-level nibble stack for the deepest unexhausted entry — there are no
 wasted pop-only iterations.  Long batches are processed in chunks
@@ -34,15 +34,34 @@ from .wide_bvh import (KIND_INTERNAL, KIND_TRIS, KIND_PRIM, WIDE, WIDE_LEAF)
 
 DONE = jnp.int32(-2)
 KEY_MISS = jnp.int32(0x7FFFFFFF)
-_NIB_FILL = jnp.int32(-1)  # all-F nibbles; >>4 sign-extends more F's in
 
-# Batcher odd-even merge sorting network for 8 elements (19 comparators)
-_SORT8 = [(0, 1), (2, 3), (4, 5), (6, 7),
-          (0, 2), (1, 3), (4, 6), (5, 7),
-          (1, 2), (5, 6),
-          (0, 4), (1, 5), (2, 6), (3, 7),
-          (2, 4), (3, 5),
-          (1, 2), (3, 4), (5, 6)]
+
+
+# remaining-children nibbles per stack entry, packed 8 per int32 word
+SEQ_WORDS = max(1, -(-(WIDE - 1) // 8))
+
+
+def _batcher_network(n: int):
+    """Batcher merge-exchange sorting network (Knuth TAOCP 5.2.2 Alg M)."""
+    pairs = []
+    t = 1
+    while t < n:
+        t <<= 1
+    p = t >> 1
+    while p > 0:
+        q, r, d = t >> 1, 0, p
+        while True:
+            for i in range(n - d):
+                if (i & p) == r:
+                    pairs.append((i, i + d))
+            if q == p:
+                break
+            d, q, r = q - p, q >> 1, p
+        p >>= 1
+    return pairs
+
+
+_SORT_NET = _batcher_network(WIDE)
 
 # 32768 measured fastest on v5e (16k pays lax.map serialization, 128k+ pays
 # lockstep divergence: the whole chunk spins until its worst ray finishes)
@@ -86,7 +105,8 @@ def _traverse_chunk(rows, depth: int, o: Vec3, d: Vec3, t0, ignored_prim,
     eye = jnp.eye(row_w, dtype=jnp.float32)
 
     def body(st):
-        (cur, level, seqs, bases, t, prim, tri, bv, bw, nv, tt) = st
+        (cur, level, seqs, bases, rems, t, prim, tri, bv, bw, nv, tt) = st
+        seqs = list(seqs)
         active = cur != DONE
         g = rows[jnp.clip(cur, 0, n_rows - 1)]  # (nc, row_w) gather
         # Materialize the transpose through the MXU (identity matmul at
@@ -102,9 +122,11 @@ def _traverse_chunk(rows, depth: int, o: Vec3, d: Vec3, t0, ignored_prim,
             preferred_element_type=jnp.float32)  # (row_w, nc)
         kind = jnp.where(active, _i32(rowT[0]), KIND_PRIM + 99)
 
-        # ---------------- internal: test 8 child slabs, sort, descend ------
+        # ------- internal: test WIDE child slabs, sort, descend ------------
+        slot_mask = jnp.int32(WIDE - 1)  # WIDE is a power of two
         child_base = _i32(rowT[1])
         keys = []
+        n_hits = jnp.zeros_like(child_base)
         for c in range(WIDE):
             s = 2 + 6 * c
             lo = Vec3(rowT[s], rowT[s + 1], rowT[s + 2])
@@ -119,31 +141,41 @@ def _traverse_chunk(rows, depth: int, o: Vec3, d: Vec3, t0, ignored_prim,
                              jnp.maximum(t1.z, t2.z))
             hit_c = (tn < tf) & (tf > 0.0) & (tn < t)
             # distance-ordered sort key: non-negative f32 bits are monotone
-            # as int32; low 3 bits carry the slot
+            # as int32; the low log2(WIDE) bits carry the slot
             bits = _key_bits(jnp.maximum(tn, 0.0))
-            key = jnp.bitwise_or(jnp.bitwise_and(bits, ~jnp.int32(7)),
+            key = jnp.bitwise_or(jnp.bitwise_and(bits, ~slot_mask),
                                  jnp.int32(c))
             keys.append(jnp.where(hit_c, key, KEY_MISS))
-        for (i, j) in _SORT8:
+            n_hits = n_hits + hit_c.astype(jnp.int32)
+        for (i, j) in _SORT_NET:
             ki, kj = keys[i], keys[j]
             keys[i] = jnp.minimum(ki, kj)
             keys[j] = jnp.maximum(ki, kj)
-        any_hit = keys[0] != KEY_MISS
-        more = keys[1] != KEY_MISS
-        slot0 = jnp.bitwise_and(keys[0], 7)
-        seq_rest = jnp.full_like(child_base, -268435456)  # 0xF0000000
-        for j in range(1, WIDE):
-            nib = jnp.where(keys[j] == KEY_MISS, jnp.int32(0xF),
-                            jnp.bitwise_and(keys[j], 7))
-            seq_rest = jnp.bitwise_or(seq_rest, nib << (4 * (j - 1)))
+        any_hit = n_hits > 0
+        slot0 = jnp.bitwise_and(keys[0], slot_mask)
+        # pack the sorted REST slots (keys[1:]) as nibbles, 8 per word; the
+        # per-level remaining-count (rems) says how many are valid, so slot
+        # value 15 never collides with a sentinel
+        seq_rest = []
+        for wd in range(SEQ_WORDS):
+            word = jnp.zeros_like(child_base)
+            for jn in range(8):
+                j = 1 + wd * 8 + jn
+                if j >= WIDE:
+                    break
+                nib = jnp.bitwise_and(keys[j], slot_mask)
+                word = jnp.bitwise_or(word, nib << (4 * jn))
+            seq_rest.append(word)
 
         is_int = active & (kind == KIND_INTERNAL)
         descend = is_int & any_hit
-        push = descend & more
+        push = descend & (n_hits > 1)
         new_level = level + 1
         wmask = push[None, :] & (lanes == new_level[None, :])  # (D, nc)
-        seqs = jnp.where(wmask, seq_rest[None, :], seqs)
+        for wd in range(SEQ_WORDS):
+            seqs[wd] = jnp.where(wmask, seq_rest[wd][None, :], seqs[wd])
         bases = jnp.where(wmask, child_base[None, :], bases)
+        rems = jnp.where(wmask, (n_hits - 1)[None, :], rems)
         level = jnp.where(push, new_level, level)
         cur_desc = child_base + slot0
 
@@ -206,16 +238,24 @@ def _traverse_chunk(rows, depth: int, o: Vec3, d: Vec3, t0, ignored_prim,
         hit_now = any_leaf_hit | prim_hit
 
         # ---------------- pop: deepest unexhausted stack level -------------
-        has = jnp.bitwise_and(seqs, 0xF) != 0xF  # (D, nc)
+        has = rems > 0  # (D, nc)
         eligible = has & (lanes <= level[None, :])
         l_star = jnp.max(jnp.where(eligible, lanes, -1), axis=0)  # (nc,)
         found = l_star >= 0
         oh = lanes == l_star[None, :]
-        seq_l = jnp.sum(jnp.where(oh, seqs, 0), axis=0)
         base_l = jnp.sum(jnp.where(oh, bases, 0), axis=0)
-        c_pop = jnp.bitwise_and(seq_l, 0xF)
+        c_pop = jnp.bitwise_and(
+            jnp.sum(jnp.where(oh, seqs[0], 0), axis=0), 0xF)
         need_pop = active & ~descend
-        seqs = jnp.where(need_pop[None, :] & oh, (seq_l >> 4)[None, :], seqs)
+        wpop = need_pop[None, :] & oh
+        # shift the nibble chain down one, carrying across words
+        for wd in range(SEQ_WORDS):
+            lo_sh = jnp.bitwise_and(seqs[wd] >> 4, 0x0FFFFFFF)
+            if wd + 1 < SEQ_WORDS:
+                carry = jnp.bitwise_and(seqs[wd + 1], 0xF) << 28
+                lo_sh = jnp.bitwise_or(lo_sh, carry)
+            seqs[wd] = jnp.where(wpop, lo_sh, seqs[wd])
+        rems = jnp.where(wpop, rems - 1, rems)
         level = jnp.where(need_pop, jnp.where(found, l_star, level), level)
         cur_pop = jnp.where(found, base_l + c_pop, DONE)
 
@@ -226,21 +266,23 @@ def _traverse_chunk(rows, depth: int, o: Vec3, d: Vec3, t0, ignored_prim,
 
         nv = nv + jnp.sum(active.astype(jnp.int32))
         tt = tt + jnp.sum(jnp.where(tri_ok, jnp.minimum(count, WIDE_LEAF), 0))
-        return (cur, level, seqs, bases, t, prim, tri, bv, bw, nv, tt)
+        return (cur, level, tuple(seqs), bases, rems, t, prim, tri, bv, bw,
+                nv, tt)
 
     z32 = jnp.zeros((), jnp.int32)
     st0 = (
         jnp.zeros(n, jnp.int32),  # cur = root row 0
         jnp.full(n, -1, jnp.int32),  # level: empty stack
-        jnp.full((depth,) + n, _NIB_FILL, jnp.int32),
+        tuple(jnp.zeros((depth,) + n, jnp.int32) for _ in range(SEQ_WORDS)),
         jnp.zeros((depth,) + n, jnp.int32),
+        jnp.zeros((depth,) + n, jnp.int32),  # rems: remaining children/level
         t0,
         jnp.full(n, -1, jnp.int32),
         jnp.full(n, -1, jnp.int32),
         jnp.zeros(n), jnp.zeros(n), z32, z32,
     )
     out = jax.lax.while_loop(cond, body, st0)
-    return out[4], out[5], out[6], out[7], out[8], out[9], out[10]
+    return out[5], out[6], out[7], out[8], out[9], out[10], out[11]
 
 
 def _traverse(ps: PackedScene, o: Vec3, d: Vec3, t0, ignored_prim,

@@ -46,8 +46,17 @@ import numpy as np
 
 from . import bvh as bvh_mod
 
-WIDE = 8
-WIDE_LEAF = 6  # triangles per leaf row (2 + 6*9 = 56 lanes fits ROW_W=64)
+import os as _os
+
+# Node width is configurable: 8-wide/64-float rows or 16-wide/128-float rows
+# (BUAS_WIDE=8|16).  Measured on v5e at 1080p: W=16 halves tree depth but
+# doubles per-iteration gather/slab cost — a wash (99.7 vs 106.5 ms primary
+# closest-hit), so 8 stays the default.
+WIDE = int(_os.environ.get("BUAS_WIDE", 8))
+assert WIDE in (8, 16)
+ROW_W = 64 if WIDE == 8 else 128
+# triangles per leaf row: lanes 8 + 9k must fit ROW_W
+WIDE_LEAF = 6 if WIDE == 8 else 13
 
 KIND_INTERNAL = 0
 KIND_TRIS = 1
@@ -56,7 +65,6 @@ KIND_EMPTY = 3
 
 PAD = 1e-4  # flat-geometry AABB epsilon (see ops/bvh.py _Emitter.PAD)
 
-ROW_W = 64
 
 
 @dataclass
@@ -285,7 +293,7 @@ def build_wide_scene(
             res = wide_collapse_native(
                 inst.lo, inst.hi, inst.b.left_first, inst.b.count, node,
                 tri_a[k_inst], tri_e1[k_inst], tri_e2[k_inst],
-                inst.tri_base, inst.prim, len(rows) - 1, PAD)
+                inst.tri_base, inst.prim, len(rows) - 1, PAD, WIDE, ROW_W)
             if res is None:
                 return None
             block, depth = res
