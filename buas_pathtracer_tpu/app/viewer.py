@@ -268,6 +268,20 @@ select,button,input{background:#222;color:#ccc;border:1px solid #444}
 <button onclick="takePicture()">go</button> <span id="pic"></span></label>
 <p>WASD move &middot; QE down/up &middot; drag = look &middot; shift = fast
 &middot; F = walk mode &middot; ctrl+click = focus</p>
+<details><summary>sampler debug</summary>
+<label>strategy <select id="sstrat"><option value="0">Uniform</option>
+<option value="1">Blue Noise</option><option value="2" selected>Stratified</option></select></label>
+<img id="sscatter" width="128" height="128"> <img id="snoise" width="128" height="128"><br>
+<img id="shist" width="256" height="128">
+<script>
+function refreshSampler(){
+  const st = document.getElementById('sstrat').value;
+  document.getElementById('sscatter').src = '/sampler.png?kind=scatter&strategy='+st+'&t='+Date.now();
+  document.getElementById('snoise').src = '/sampler.png?kind=noise&strategy='+st+'&t='+Date.now();
+  document.getElementById('shist').src = '/sampler.png?kind=hist&strategy='+st+'&t='+Date.now();
+}
+document.getElementById('sstrat').onchange = refreshSampler; refreshSampler();
+</script></details>
 </div>
 <script>
 const img = document.getElementById('img');
@@ -357,7 +371,18 @@ def make_handler(state: ViewerState):
             self.wfile.write(body)
 
         def do_GET(self):
-            if self.path.startswith("/frame.png"):
+            if self.path.startswith("/sampler.png"):
+                # sampler debug viz (raytracer.cpp:2199-2290 parity):
+                # /sampler.png?kind=scatter|hist|noise&strategy=0|1|2
+                from urllib.parse import parse_qs, urlparse
+                from . import sampler_debug as sd
+                q = parse_qs(urlparse(self.path).query)
+                kind = q.get("kind", ["scatter"])[0]
+                strat = int(q.get("strategy", ["2"])[0])
+                fn = {"scatter": sd.scatter_plot, "hist": sd.projection_histogram,
+                      "noise": sd.noise_image}.get(kind, sd.scatter_plot)
+                self._send(200, "image/png", png_bytes(fn(strat)))
+            elif self.path.startswith("/frame.png"):
                 with state.lock:
                     png = state.frame_png
                 self._send(200, "image/png", png)
