@@ -81,8 +81,21 @@ class ShardedRenderer:
 
     def step(self):
         """Render one frame (spp passes), accumulate. Returns stats (3,)."""
-        self.accum, stats = self._step(self.ps, self.scene.settings, self.cam,
-                                       self.accum, jnp.uint32(self.frame_index))
+        try:
+            self.accum, stats = self._step(
+                self.ps, self.scene.settings, self.cam, self.accum,
+                jnp.uint32(self.frame_index))
+        except ValueError as e:
+            if "buffers but compiled program expected" not in str(e):
+                raise
+            # jax 0.9.0 sporadically loses lowered-constant bookkeeping when
+            # the dispatch cache is warm with other entries (see
+            # runtime/render.py for the analysis).  A FRESH compile of the
+            # same program is unaffected: drop the poisoned cache and retry.
+            self._step.clear_cache()
+            self.accum, stats = self._step(
+                self.ps, self.scene.settings, self.cam, self.accum,
+                jnp.uint32(self.frame_index))
         self.frame_index += int(self.scene.settings.samples_per_pixel)
         return stats
 

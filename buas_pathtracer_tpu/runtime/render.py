@@ -70,6 +70,8 @@ def render_frame_impl(ps: PackedScene, settings: SceneSettings, cam: Camera,
     # program expected M"); with no prunable args the counts always match.
     anchor = jnp.float32(0.0)
     for leaf in jax.tree.leaves((ps, cam, frame_index)):
+        if getattr(leaf, "size", 1) == 0:  # prim-less scenes: empty arrays
+            continue
         anchor = anchor + 0.0 * jnp.asarray(leaf, jnp.float32).reshape(-1)[0]
 
     stats = jnp.zeros(3) + anchor  # [rays, BVH node visits, triangle tests]
