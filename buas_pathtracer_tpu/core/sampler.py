@@ -46,6 +46,9 @@ class SampleDimension(IntEnum):  # samplers.h:129-138
     DOF = 4
     AA = 5
     ROULETTE = 6
+    # TPU-build addition: env-map NEE draws (the reference stubbed env-map
+    # importance sampling, assets.cpp:630-661 / integrators.cpp:230-233)
+    ENV_LIGHTING = 7
 
 
 class Strategy(IntEnum):  # samplers.h:110-115

@@ -60,6 +60,12 @@ def advanced(ps: PackedScene, settings: SceneSettings, sampler: smp.Sampler,
     max_bounces = int(settings.max_bounce_count)
     strategy = int(settings.sampling_strategy)
     nee = bool(settings.next_event_estimation) and n_lights > 0
+    # env-map NEE: the reference built the env CDF but stubbed the sampler
+    # (integrators.cpp:230-233 "NOT YET IMPLEMENTED"); here it is a second
+    # direct-light strategy whenever an env map is present.  Without it a
+    # small bright sun disk is only ever hit by chance -> fireflies.
+    from .common import has_env as _has_env
+    env_nee = bool(settings.next_event_estimation) and _has_env(ps)
     use_mis = bool(settings.use_mis)
     is_lights = bool(settings.importance_sample_lights)
     is_diffuse = bool(settings.importance_sample_diffuse)
@@ -89,7 +95,24 @@ def advanced(ps: PackedScene, settings: SceneSettings, sampler: smp.Sampler,
 
         # ---- miss: sky, terminate (integrators.cpp:813-816) ----
         sky = sample_sky(ps, d)
-        total = vwhere(missed, total + throughput * sky, total)
+        if env_nee:
+            # MIS with the env-NEE strategy below: BRDF-sampled rays that
+            # reach the sky are weighted by brdf/(brdf+env) pdfs; specular
+            # and primary rays see the env directly (no competing strategy).
+            from ..ops import envmap
+            brdf_pdf_sky = (jnp.maximum(dot(prev_n, d), 0.0) / PI) \
+                if is_diffuse else (1.0 / (2.0 * PI))
+            if use_mis:
+                e_pdf = envmap.env_pdf(ps.env_cdf_marginal,
+                                       ps.env_cdf_conditional,
+                                       ps.env_pixels, d)
+                w_sky = brdf_pdf_sky / jnp.maximum(brdf_pdf_sky + e_pdf, 1e-30)
+                w_sky = jnp.where(is_specular, 1.0, w_sky)
+            else:
+                w_sky = is_specular.astype(jnp.float32)
+            total = vwhere(missed, total + throughput * sky * w_sky, total)
+        else:
+            total = vwhere(missed, total + throughput * sky, total)
 
         # ---- orientation + stack-relative materials (:617-638) ----
         cos_i0 = -dot(d, hit.n)
@@ -224,6 +247,32 @@ def advanced(ps: PackedScene, settings: SceneSettings, sampler: smp.Sampler,
             nee_add = vwhere(visible, contrib, nee_add)
             stats = stats + jnp.array([1.0, 0.0, 0.0]) * jnp.sum(facing.astype(jnp.float32))
         total = total + nee_add
+
+        # ---- env-map NEE (implements the reference's stub) ----
+        if env_nee:
+            from ..ops import envmap
+            s, e_u, e_v = smp.sample_2d(s, strategy,
+                                        smp.SampleDimension.ENV_LIGHTING, bounce)
+            d_e, pdf_e, rad_e = envmap.sample_env_direction(
+                ps.env_cdf_marginal, ps.env_cdf_conditional, ps.env_pixels,
+                e_u, e_v)
+            n_dot_e = dot(N, d_e)
+            facing_e = (n_dot_e > 0.0) & do_diffuse & found & ~t_emissive
+            occ_e = traverse.intersect_shadow_ray(
+                ps, hit.p + d_e * EPSILON, d_e,
+                jnp.where(facing_e, traverse.BIG_T, -1.0),
+                jnp.full(n, -1, jnp.int32))
+            visible_e = facing_e & ~occ_e
+            if use_mis:
+                brdf_pdf_e = (n_dot_e / PI) if is_diffuse else (1.0 / (2.0 * PI))
+                pdf_tot = pdf_e + brdf_pdf_e
+            else:
+                pdf_tot = pdf_e
+            contrib_e = throughput * brdf * rad_e * (
+                n_dot_e / jnp.maximum(pdf_tot, 1e-30))
+            total = vwhere(visible_e, total + contrib_e, total)
+            stats = stats + jnp.array([1.0, 0.0, 0.0]) * jnp.sum(
+                facing_e.astype(jnp.float32))
 
         # indirect bounce (:777-795)
         s, il_u, il_v = smp.sample_2d(s, strategy, smp.SampleDimension.INDIRECT_LIGHTING, bounce)
