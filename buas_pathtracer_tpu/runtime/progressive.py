@@ -81,17 +81,32 @@ class ProgressiveRenderer:
         return np.asarray(jax.device_get(
             post.post_process(self.accum, pp, self.frame_count)))
 
-    def take_picture(self, spp: int, path: str, progress=None) -> float:
+    def take_picture(self, spp: int, path: str, progress=None,
+                     checkpoint_every: int = 0,
+                     checkpoint_path: Optional[str] = None) -> float:
         """Offline high-spp render ("Take picture", raytracer.cpp:2037-2047,
         3.4 in SURVEY): burn frames until ``spp`` accumulated, write BMP/PNG.
-        Returns elapsed seconds."""
+        Returns elapsed seconds.
+
+        checkpoint_every > 0 persists the accumulation state every N spp
+        (runtime/checkpoint.py) so a preempted TPU job resumes instead of
+        restarting; if ``checkpoint_path`` exists it is resumed first."""
+        import os
         import time
+        from . import checkpoint as ckpt
         from ..utils.image import write_bmp, write_png
+        if checkpoint_path and os.path.exists(checkpoint_path):
+            ckpt.resume_into(self, checkpoint_path)
         t0 = time.perf_counter()
+        last_ckpt = self.frame_count
         while self.frame_count < spp:
             self.render_one_frame()
             if progress:
                 progress(self.frame_count, spp)
+            if (checkpoint_every and checkpoint_path
+                    and self.frame_count - last_ckpt >= checkpoint_every):
+                ckpt.checkpoint_renderer(self, checkpoint_path)
+                last_ckpt = self.frame_count
         jax.block_until_ready(self.accum)
         elapsed = time.perf_counter() - t0
         img = self.display_rgba8()

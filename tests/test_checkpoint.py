@@ -60,3 +60,24 @@ def test_mismatch_refused(tmp_path):
     r3 = ProgressiveRenderer(small_scene(), 8, 8)
     with pytest.raises(ValueError, match="renderer is 8x8"):
         checkpoint.resume_into(r3, p)
+
+
+def test_take_picture_resumes_from_checkpoint(tmp_path):
+    """A take_picture interrupted mid-render resumes from its checkpoint and
+    produces the same image as an uninterrupted run."""
+    ck = str(tmp_path / "pic.ckpt.npz")
+    out1 = str(tmp_path / "a.png")
+    out2 = str(tmp_path / "b.png")
+
+    r1 = ProgressiveRenderer(small_scene(), 16, 16)
+    r1.take_picture(6, out1, checkpoint_every=2, checkpoint_path=ck)
+
+    # "preempted" run: fresh renderer picks up the checkpoint (written at
+    # 6 spp by the loop above) and renders 2 more
+    r2 = ProgressiveRenderer(small_scene(), 16, 16)
+    r2.take_picture(8, out2, checkpoint_path=ck)
+
+    # uninterrupted 8-spp render for comparison
+    r3 = ProgressiveRenderer(small_scene(), 16, 16)
+    r3.take_picture(8, str(tmp_path / "c.png"))
+    np.testing.assert_array_equal(r2.resolve_hdr(), r3.resolve_hdr())
