@@ -220,3 +220,50 @@ class TestNativeHdr:
         assert decoded is not None
         for comp in range(4):
             assert np.all(decoded[0, :, comp] == comp * 10 + 5)
+
+
+def test_python_fallback_matches_native():
+    """With BUAS_NO_NATIVE=1 the pure-Python builders must produce a scene
+    that traverses identically (the fallback path is otherwise never
+    exercised on machines with a toolchain).  Runs in a subprocess so the
+    env var is seen before the native lib loads."""
+    import os
+    import subprocess
+    import sys
+
+    script = r"""
+import os
+os.environ["JAX_PLATFORMS"] = "cpu"
+import jax
+jax.config.update("jax_platforms", "cpu")
+import numpy as np, jax.numpy as jnp
+from buas_pathtracer_tpu import native
+assert not native.available(), "BUAS_NO_NATIVE not honored"
+from buas_pathtracer_tpu.core import vec
+from buas_pathtracer_tpu.core.vec import Vec3
+from buas_pathtracer_tpu.models.scene import Scene
+from buas_pathtracer_tpu.utils.procgen import icosphere
+from buas_pathtracer_tpu.ops import traverse_wide, traverse
+sc = Scene(name="pyfallback")
+m = sc.add_diffuse_material((0.7, 0.7, 0.7), 1.0)
+sc.add_mesh(m, icosphere(subdivisions=2), vec.translate([0, 0, 2]))
+sc.add_sphere(m, 0.5, vec.translate([1.5, 0, 3]))
+ps = sc.pack()
+rng = np.random.default_rng(0)
+n = 512
+o = Vec3(*[jnp.asarray(rng.uniform(-2, 2, n).astype(np.float32)) for _ in range(3)])
+dn = rng.normal(size=(n, 3)).astype(np.float32)
+dn /= np.linalg.norm(dn, axis=1, keepdims=True)
+d = Vec3(*[jnp.asarray(dn[:, i]) for i in range(3)])
+hw = traverse_wide.intersect_scene(ps, o, d)
+ht = traverse.intersect_scene_threaded(ps, o, d)
+agree = (np.asarray(hw.hit_id) == np.asarray(ht.hit_id)).mean()
+assert agree > 0.995, agree
+print("PY_FALLBACK_OK")
+"""
+    env = dict(os.environ, BUAS_NO_NATIVE="1")
+    res = subprocess.run([sys.executable, "-c", script], env=env,
+                         capture_output=True, text=True, timeout=480,
+                         cwd=os.path.dirname(os.path.dirname(
+                             os.path.abspath(__file__))))
+    assert "PY_FALLBACK_OK" in res.stdout, res.stderr[-1500:]
