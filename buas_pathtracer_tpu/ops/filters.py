@@ -10,6 +10,7 @@ closed forms; registry names and radii match the reference table
 
 from __future__ import annotations
 
+import math
 from typing import Callable, NamedTuple, Optional
 
 import jax.numpy as jnp
@@ -33,7 +34,9 @@ def lanczos(radius: float):
 
 
 def gaussian(alpha: float, radius: float):
-    edge = float(jnp.exp(-alpha * radius * radius))
+    # math.exp, not jnp: module import must not initialize a jax backend
+    # (the FILTERS table below is built at import time).
+    edge = math.exp(-alpha * radius * radius)
 
     def f(x):
         return jnp.maximum(0.0, jnp.exp(-alpha * x * x) - edge)
