@@ -409,12 +409,15 @@ def main(argv=None):
     ap.add_argument("--width", type=int, default=1024)
     ap.add_argument("--height", type=int, default=576)
     ap.add_argument("--port", type=int, default=8000)
+    ap.add_argument("--host", default="127.0.0.1",
+                    help="bind address; the control API is unauthenticated, "
+                         "pass 0.0.0.0 only to expose it deliberately")
     args = ap.parse_args(argv)
 
     state = ViewerState(args.scene, args.width, args.height)
     t = threading.Thread(target=state.render_loop, daemon=True)
     t.start()
-    server = ThreadingHTTPServer(("0.0.0.0", args.port), make_handler(state))
+    server = ThreadingHTTPServer((args.host, args.port), make_handler(state))
     print(f"viewer: http://localhost:{args.port}  scene={state.scene_name}")
     try:
         server.serve_forever()

@@ -15,7 +15,9 @@ directory and cached; a stale .so older than the sources is rebuilt.
 from __future__ import annotations
 
 import ctypes
+import hashlib
 import os
+import platform as _platform
 import subprocess
 import threading
 
@@ -24,6 +26,7 @@ import numpy as np
 _DIR = os.path.dirname(os.path.abspath(__file__))
 _SRC = os.path.join(_DIR, "src")
 _SO = os.path.join(_DIR, "libbuas_native.so")
+_FP = _SO + ".fp"  # build fingerprint next to the artifact
 _SOURCES = ["bvh_builder.cpp", "obj_parser.cpp", "wide_collapse.cpp"]
 
 _lock = threading.Lock()
@@ -31,15 +34,40 @@ _lib = None
 _tried = False
 
 
+def _fingerprint(srcs) -> str:
+    """Content + host fingerprint: a cached .so built on another machine or
+    from other sources is never loaded (a foreign -march binary would SIGILL
+    at call time, past the CDLL OSError fallback)."""
+    h = hashlib.sha256()
+    for s in srcs:
+        with open(s, "rb") as f:
+            h.update(f.read())
+    h.update(_platform.machine().encode())
+    h.update(_platform.processor().encode())
+    try:
+        h.update(subprocess.run(["g++", "--version"], capture_output=True,
+                                timeout=10).stdout)
+    except (subprocess.SubprocessError, FileNotFoundError, OSError):
+        pass
+    return h.hexdigest()
+
+
 def _build() -> bool:
     srcs = [os.path.join(_SRC, s) for s in _SOURCES]
-    if os.path.exists(_SO) and all(
-            os.path.getmtime(_SO) >= os.path.getmtime(s) for s in srcs):
-        return True
+    fp = _fingerprint(srcs)
+    if os.path.exists(_SO) and os.path.exists(_FP):
+        try:
+            with open(_FP) as f:
+                if f.read().strip() == fp:
+                    return True
+        except OSError:
+            pass
     cmd = ["g++", "-O3", "-march=native", "-shared", "-fPIC", "-std=c++17",
            "-o", _SO] + srcs
     try:
         subprocess.run(cmd, check=True, capture_output=True, timeout=180)
+        with open(_FP, "w") as f:
+            f.write(fp)
         return True
     except (subprocess.SubprocessError, FileNotFoundError, OSError):
         return False

@@ -160,7 +160,7 @@ void *bvh_build(const float *item_lo, const float *item_hi, int32_t m,
                 }
                 if (best_b >= 0) {
                     double leaf_cost = (double)surface_area(blo, bhi) * cnt;
-                    if (!(best_cost >= leaf_cost && cnt <= 2 * max_leaf_size)) {
+                    if (!(best_cost >= leaf_cost && cnt <= max_leaf_size)) {
                         // stable partition: bins <= best_b go left
                         tmp.clear();
                         tmp.reserve(cnt);
@@ -182,6 +182,12 @@ void *bvh_build(const float *item_lo, const float *item_hi, int32_t m,
             }
         }
 
+        if (mid < 0 && cnt > max_leaf_size) {
+            // forced median split: degenerate centroid extent (coincident
+            // items) must never emit a leaf larger than max_leaf_size —
+            // wide rows inline at most (row_w-8)/9 triangles.
+            mid = r.s + cnt / 2;
+        }
         if (mid < 0) {
             res->left_first[r.node] = r.s;
             res->count[r.node] = cnt;

@@ -51,6 +51,10 @@ static void fill_leaf(CollapseCtx &c, int32_t node, int32_t idx) {
     float *row = c.rows.data() + (size_t)idx * c.row_w;
     int32_t cnt = c.count[node];
     int32_t first = c.left_first[node];
+    // builders guarantee leaves fit one row (forced median split); clamp
+    // as defense so a violated invariant can never write past the row.
+    const int32_t wide_leaf = (c.row_w - 8) / 9;
+    if (cnt > wide_leaf) cnt = wide_leaf;
     row[0] = (float)KIND_TRIS;
     row[1] = (float)cnt;
     row[2] = (float)(c.tri_base + first);

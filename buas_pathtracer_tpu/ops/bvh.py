@@ -89,7 +89,14 @@ def build_bvh(lo: np.ndarray, hi: np.ndarray, method: str = "sah_binned",
 
         split = None
         if cnt > max_leaf_size:
-            split = _partition(lo, hi, centers, order, s, e, method)
+            split = _partition(lo, hi, centers, order, s, e, method,
+                               max_leaf_size)
+            if split is None:
+                # degenerate centroid extent (coincident items) or SAH
+                # early-out on an oversized range: force a median split so
+                # NO leaf ever exceeds max_leaf_size — wide rows inline at
+                # most WIDE_LEAF triangles (wide_bvh.py row encoding).
+                split = (s + cnt // 2, 0)
         if split is None:
             n_left[ni] = s
             n_count[ni] = cnt
@@ -115,7 +122,8 @@ def build_bvh(lo: np.ndarray, hi: np.ndarray, method: str = "sah_binned",
     )
 
 
-def _partition(lo, hi, centers, order, s, e, method):
+def _partition(lo, hi, centers, order, s, e, method,
+               max_leaf_size=MAX_LEAF_SIZE):
     """Returns (mid, axis) or None to make a leaf."""
     idx = order[s:e]
     c = centers[idx]
@@ -151,7 +159,7 @@ def _partition(lo, hi, centers, order, s, e, method):
         cost = la * ks + ra * (n - ks)
         best = int(np.argmin(cost))
         leaf_cost = _sa(lo[idx].min(0), hi[idx].max(0)) * n
-        if cost[best] >= leaf_cost and n <= 2 * MAX_LEAF_SIZE:
+        if cost[best] >= leaf_cost and n <= max_leaf_size:
             return None
         order[s:e] = np.concatenate([sidx[: best + 1], sidx[best + 1:]])
         return s + best + 1, axis
@@ -184,7 +192,7 @@ def _partition(lo, hi, centers, order, s, e, method):
         return None
     n = len(idx)
     leaf_cost = _sa(lo[idx].min(0), hi[idx].max(0)) * n
-    if cost[best] >= leaf_cost and n <= 2 * MAX_LEAF_SIZE:
+    if cost[best] >= leaf_cost and n <= max_leaf_size:
         return None
     mask = bins <= best
     order[s:e] = np.concatenate([idx[mask], idx[~mask]])

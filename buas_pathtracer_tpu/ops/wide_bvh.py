@@ -208,26 +208,46 @@ def build_wide_scene(
         return base
 
     # candidate refs: ('t', node) | ('m', inst, node) | ('p', prim_idx)
+    #              | ('i', (prim_idx, ...)) — a multi-item TLAS leaf
     if len(real_prims) > 0:
         tlas = bvh_mod.build_bvh(item_lo, item_hi, bvh_method, 1) \
             if len(real_prims) > 1 else None
 
+        def item_ref(pi):
+            if pi in inst_of_prim:
+                return ("m", inst_of_prim[pi], 0)
+            return ("p", pi)
+
+        def items_ref(items):
+            if len(items) == 1:
+                return item_ref(items[0])
+            return ("i", tuple(items))
+
         def normalize(ref):
-            """Resolve TLAS leaves to their underlying prim/mesh-root ref."""
+            """Resolve TLAS leaves to their underlying prim/mesh-root refs.
+
+            A TLAS leaf can hold >1 item even at leaf size 1 when item
+            centroids coincide (e.g. concentric nested-dielectric spheres,
+            degenerate centroid extent).  ALL its items must survive as
+            candidates — resolving only order[left_first] silently dropped
+            the rest (round-1 ADVICE high finding)."""
             if ref[0] == "t":
                 node = ref[1]
-                if tlas is None or tlas.count[node] > 0:
-                    item = 0 if tlas is None else int(
-                        tlas.order[int(tlas.left_first[node])])
-                    pi = real_prims[item]
-                    if pi in inst_of_prim:
-                        return ("m", inst_of_prim[pi], 0)
-                    return ("p", pi)
+                if tlas is None:
+                    return item_ref(real_prims[0])
+                cnt = int(tlas.count[node])
+                if cnt > 0:
+                    lf = int(tlas.left_first[node])
+                    items = [real_prims[int(tlas.order[lf + j])]
+                             for j in range(cnt)]
+                    return items_ref(items)
             return ref
 
         def expandable(ref):
             if ref[0] == "t":
                 return True  # normalized TLAS refs are always internal
+            if ref[0] == "i":
+                return True  # item lists split until singular
             if ref[0] == "m":
                 return ref[1].b.count[ref[2]] == 0
             return False
@@ -236,6 +256,10 @@ def build_wide_scene(
             if ref[0] == "t":
                 left = int(tlas.left_first[ref[1]])
                 return [normalize(("t", left)), normalize(("t", left + 1))]
+            if ref[0] == "i":
+                lst = ref[1]
+                mid = len(lst) // 2
+                return [items_ref(lst[:mid]), items_ref(lst[mid:])]
             inst, node = ref[1], ref[2]
             left = int(inst.b.left_first[node])
             return [("m", inst, left), ("m", inst, left + 1)]
@@ -245,6 +269,9 @@ def build_wide_scene(
                 return tlas.lo[ref[1]], tlas.hi[ref[1]]
             if ref[0] == "m":
                 return ref[1].lo[ref[2]], ref[1].hi[ref[2]]
+            if ref[0] == "i":
+                js = [real_prims.index(pi) for pi in ref[1]]
+                return item_lo[js].min(axis=0), item_hi[js].max(axis=0)
             j = real_prims.index(ref[1])
             return item_lo[j], item_hi[j]
 
@@ -266,6 +293,10 @@ def build_wide_scene(
             inst, node = ref[1], ref[2]
             cnt = int(inst.b.count[node])
             first = int(inst.b.left_first[node])
+            # builders guarantee leaves <= WIDE_LEAF (forced median split on
+            # degenerate/early-out ranges); an oversized leaf here would
+            # silently drop triangles, so fail loudly.
+            assert cnt <= WIDE_LEAF, f"leaf of {cnt} tris > {WIDE_LEAF}"
             row[0] = _f(KIND_TRIS)
             row[1] = _f(cnt)
             row[2] = _f(inst.tri_base + first)

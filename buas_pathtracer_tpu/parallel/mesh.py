@@ -28,6 +28,7 @@ import jax.numpy as jnp
 import numpy as np
 from jax.sharding import Mesh, NamedSharding, PartitionSpec as P
 
+from ..core.jitfix import distinct_scalar_leaves, safe_jit
 from ..models.scene import PackedScene, Scene, SceneSettings
 from ..runtime import film
 from ..runtime.render import render_frame_impl
@@ -66,12 +67,14 @@ class ShardedRenderer:
 
         repl = replicated(self.mesh)
         self.ps = jax.device_put(scene.pack(), repl)
-        self.cam = jax.device_put(scene.camera, repl)
+        self.cam = jax.device_put(distinct_scalar_leaves(scene.camera), repl)
         self.accum = jax.device_put(film.new_accumulation_buffer(h, w),
                                     row_sharded(self.mesh))
         self.frame_index = 0
 
-        self._step = jax.jit(
+        # safe_jit supplies the jax-0.9.0 dispatch recovery ladder
+        # (core/jitfix): clear-cache retry, then consts-as-args fallback.
+        self._step = safe_jit(
             partial(render_frame_impl, h=h, w=w, n_lights=scene.n_lights,
                     filter_name=self.filter_name),
             static_argnames=("settings",),
@@ -81,21 +84,9 @@ class ShardedRenderer:
 
     def step(self):
         """Render one frame (spp passes), accumulate. Returns stats (3,)."""
-        try:
-            self.accum, stats = self._step(
-                self.ps, self.scene.settings, self.cam, self.accum,
-                jnp.uint32(self.frame_index))
-        except ValueError as e:
-            if "buffers but compiled program expected" not in str(e):
-                raise
-            # jax 0.9.0 sporadically loses lowered-constant bookkeeping when
-            # the dispatch cache is warm with other entries (see
-            # runtime/render.py for the analysis).  A FRESH compile of the
-            # same program is unaffected: drop the poisoned cache and retry.
-            self._step.clear_cache()
-            self.accum, stats = self._step(
-                self.ps, self.scene.settings, self.cam, self.accum,
-                jnp.uint32(self.frame_index))
+        self.accum, stats = self._step(
+            self.ps, self.scene.settings, self.cam, self.accum,
+            jnp.uint32(self.frame_index))
         self.frame_index += int(self.scene.settings.samples_per_pixel)
         return stats
 

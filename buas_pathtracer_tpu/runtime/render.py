@@ -21,6 +21,7 @@ import jax
 import jax.numpy as jnp
 
 from ..core import sampler as smp
+from ..core.jitfix import distinct_scalar_leaves, safe_jit
 from ..core.vec import Vec3
 from ..integrators import advanced as adv
 from ..integrators import debug as dbg
@@ -107,64 +108,21 @@ def render_frame_impl(ps: PackedScene, settings: SceneSettings, cam: Camera,
     return accum, stats
 
 
-_render_frame_jit = partial(jax.jit,
-                            static_argnames=("settings", "h", "w", "n_lights",
-                                             "filter_name"),
-                            donate_argnames=("accum",))(render_frame_impl)
-
-
-_aot_cache = {}
+_render_frame_jit = safe_jit(render_frame_impl,
+                             static_argnames=("settings", "h", "w",
+                                              "n_lights", "filter_name"),
+                             donate_argnames=("accum",))
 
 
 def render_frame(ps, settings, cam, accum, frame_index, *, h, w, n_lights,
                  filter_name="Mitchell Netravali"):
-    """Jitted frame step.
-
-    Camera python-float leaves are converted to distinct 0-d device arrays
-    first (equal-valued float scalars hit jax's conversion cache and alias
-    one buffer across pytree leaves).  jax 0.9.0's fast dispatch path
-    sporadically miscounts executable parameters for this program
-    ("Execution supplied N buffers but compiled program expected M") — AOT
-    lower/compile/execute of the same program is unaffected, so on that
-    specific ValueError we fall back to a cached AOT executable."""
-    import numpy as _np
-    cam = jax.tree.map(
-        lambda v: jnp.asarray(_np.array(v, _np.float32))
-        if isinstance(v, (float, int)) else v, cam)
-    try:
-        return _render_frame_jit(ps, settings, cam, accum, frame_index,
-                                 h=h, w=w, n_lights=n_lights,
-                                 filter_name=filter_name)
-    except (ValueError, TypeError) as e:
-        if ("buffers but compiled program expected" not in str(e)
-                and "inputs but called with" not in str(e)):
-            raise
-        # jax 0.9.0 sporadically loses track of trace-captured constants that
-        # its lowering lifted into executable parameters (count mismatch at
-        # dispatch).  Recover by re-tracing to a jaxpr and re-jitting
-        # eval_jaxpr with the constants passed as EXPLICIT arguments, so the
-        # program has no captured constants at all.
-        key = (settings, h, w, n_lights, filter_name,
-               tuple((tuple(l.shape), str(l.dtype))
-                     for l in jax.tree.leaves((ps, cam, accum, frame_index))))
-        if key not in _aot_cache:
-            def fn(ps_, cam_, acc_, fi_):
-                return render_frame_impl(ps_, settings, cam_, acc_, fi_,
-                                         h=h, w=w, n_lights=n_lights,
-                                         filter_name=filter_name)
-            closed = jax.make_jaxpr(fn)(ps, cam, accum, frame_index)
-            jaxpr = closed.jaxpr
-
-            @jax.jit
-            def runner(consts_, args_):
-                return jax.core.eval_jaxpr(jaxpr, consts_, *args_)
-
-            out_tree = jax.tree.structure(
-                jax.eval_shape(fn, ps, cam, accum, frame_index))
-            _aot_cache[key] = (runner, list(closed.consts), out_tree)
-        runner, consts, out_tree = _aot_cache[key]
-        flat_in = tuple(jax.tree.leaves((ps, cam, accum, frame_index)))
-        return jax.tree.unflatten(out_tree, runner(consts, flat_in))
+    """Jitted frame step with the jax-0.9.0 dispatch defenses (core/jitfix):
+    camera python-scalar leaves become distinct 0-d arrays, and the call goes
+    through safe_jit's recovery ladder."""
+    cam = distinct_scalar_leaves(cam)
+    return _render_frame_jit(ps, settings, cam, accum, frame_index,
+                             h=h, w=w, n_lights=n_lights,
+                             filter_name=filter_name)
 
 
 def render(scene: Scene, w: int, h: int, frames: int = 1,

@@ -9,6 +9,7 @@ from buas_pathtracer_tpu.core import vec
 from buas_pathtracer_tpu.core.vec import Vec3
 from buas_pathtracer_tpu.models.mesh import Mesh
 from buas_pathtracer_tpu.models.scene import Scene
+from buas_pathtracer_tpu.core.jitfix import safe_jit
 from buas_pathtracer_tpu.ops import traverse
 
 
@@ -31,7 +32,9 @@ def packed():
 
 @pytest.fixture(scope="module")
 def isect(packed):
-    return jax.jit(lambda o, d: traverse.intersect_scene(packed, o, d))
+    # safe_jit: jax 0.9.0 sporadically loses captured-constant
+    # bookkeeping with a warm dispatch cache (core/jitfix.py)
+    return safe_jit(lambda o, d: traverse.intersect_scene(packed, o, d))
 
 
 def _rays(origins, dirs):
@@ -79,7 +82,7 @@ def test_scaled_instance_world_t(packed, isect):
 
 
 def test_shadow_ray_exclusion(packed):
-    f = jax.jit(lambda o, d, mt, ig: traverse.intersect_shadow_ray(packed, o, d, mt, ig))
+    f = safe_jit(lambda o, d, mt, ig: traverse.intersect_shadow_ray(packed, o, d, mt, ig))
     o = Vec3(jnp.array([0.0]), jnp.array([0.001]), jnp.array([0.0]))
     d = Vec3(jnp.array([0.0]), jnp.array([1.0]), jnp.array([0.0]))
     assert bool(f(o, d, jnp.array([10.0]), jnp.array([-1]))[0])

@@ -143,3 +143,67 @@ def test_nonuniform_scale_instances():
     o2 = Vec3(jnp.array([1.5]), jnp.array([0.2]), jnp.array([0.0]))
     h2 = traverse_wide.intersect_scene(ps, o2, d)
     assert int(h2.hit_id[0]) == 0
+
+
+def test_coincident_tlas_leaf_keeps_all_prims():
+    """Concentric spheres have coincident TLAS centroids, so the binary
+    builder emits a multi-item leaf even at leaf size 1; the wide collapse
+    must expand ALL its items (round-1 silently dropped all but the first —
+    the 'Week 5' nested-dielectric inner boundary vanished)."""
+    from buas_pathtracer_tpu.ops import wide_bvh
+    sc = Scene(name="concentric")
+    g = sc.add_translucent_material((0.1, 0.1, 0.1), 1.5)
+    radii = (1.0, 0.7, 0.4)
+    ids = [sc.add_sphere(g, r, vec.translate([0, 0, 2])) for r in radii]
+    ps = sc.pack()
+    rows = np.asarray(ps.wide_rows)
+    prim_rows = rows[rows[:, 0] == wide_bvh.KIND_PRIM]
+    packed_ids = set(np.round(prim_rows[:, 1]).astype(int).tolist())
+    assert set(ids) <= packed_ids, f"dropped prims: {set(ids) - packed_ids}"
+    # a ray down +z hits the OUTER boundary first at t = 2 - 1 = 1
+    o = Vec3(jnp.array([0.0]), jnp.array([0.0]), jnp.array([0.0]))
+    d = Vec3(jnp.array([0.0]), jnp.array([0.0]), jnp.array([1.0]))
+    h = traverse_wide.intersect_scene(ps, o, d)
+    assert int(h.hit_id[0]) == ids[0]
+    np.testing.assert_allclose(float(h.t[0]), 1.0, atol=1e-3)
+    # from inside the innermost sphere, the nearest boundary is r=0.4
+    o2 = Vec3(jnp.array([0.0]), jnp.array([0.0]), jnp.array([2.0]))
+    h2 = traverse_wide.intersect_scene(ps, o2, d)
+    assert int(h2.hit_id[0]) == ids[2]
+    np.testing.assert_allclose(float(h2.t[0]), 0.4, atol=1e-3)
+
+
+def test_coincident_triangles_all_packed():
+    """Coincident-centroid triangles exceed any leaf bound unless the builder
+    forces a median split; every triangle must land in some wide leaf row and
+    no row may exceed WIDE_LEAF (round-1: native fill_leaf overflowed the
+    row — heap corruption — and Python fill_terminal crashed)."""
+    from buas_pathtracer_tpu.models.mesh import Mesh
+    from buas_pathtracer_tpu.ops import wide_bvh
+    tri = np.array([[[0, 0, 0], [1, 0, 0], [0, 1, 0]]], np.float32)
+    tris = np.repeat(tri, 9, axis=0)  # 9 identical AABBs
+    sc = Scene(name="coincident-tris")
+    m = sc.add_diffuse_material((0.5, 0.5, 0.5), 1.0)
+    sc.add_mesh(m, Mesh(triangles=tris), vec.translate([0, 0, 3]))
+    ps = sc.pack()
+    rows = np.asarray(ps.wide_rows)
+    tri_rows = rows[rows[:, 0] == wide_bvh.KIND_TRIS]
+    counts = np.round(tri_rows[:, 1]).astype(int)
+    assert counts.max() <= wide_bvh.WIDE_LEAF
+    assert counts.sum() == 9, f"triangles in leaves: {counts.sum()} != 9"
+
+
+def test_builder_leaf_size_invariant():
+    """All build methods (numpy midpoint/sah/binned AND the native binned
+    path) must respect max_leaf_size even for fully degenerate inputs."""
+    from buas_pathtracer_tpu.ops import bvh as bvh_mod
+    lo = np.zeros((13, 3), np.float32)
+    hi = np.ones((13, 3), np.float32)
+    for method in ("midpoint", "sah", "sah_binned"):
+        b = bvh_mod.build_bvh(lo, hi, method, 6)
+        leaves = b.count[b.count > 0]
+        assert leaves.max() <= 6, f"{method}: leaf of {leaves.max()}"
+        assert sorted(b.order.tolist()) == list(range(13))
+        # internal consistency: leaf ranges tile [0, 13)
+        total = int(leaves.sum())
+        assert total == 13
