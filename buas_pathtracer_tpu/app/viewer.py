@@ -214,6 +214,7 @@ class ViewerState:
             "scenes": [sc.name for sc in SCENES],
             "integrators": list(INTEGRATORS.keys()),
             "filters": [f.name for f in FILTERS],
+            "filter": r.new_filter,
             "settings": asdict(r.new_settings),
             "post": asdict(self.renderer.scene.post_settings),
             "picture_progress": self.picture_progress,
@@ -232,6 +233,8 @@ class ViewerState:
                 self.y_velocity = 0.0
             elif t == "focus":
                 self.focus_pick(int(msg["x"]), int(msg["y"]))
+            elif t == "filter":
+                self.renderer.new_filter = str(msg["name"])
             elif t == "setting":
                 field, value = msg["field"], msg["value"]
                 self.renderer.new_settings = replace(
@@ -299,8 +302,8 @@ setInterval(async () => {
   fillSelect('scene', s.scenes, s.scene, n => post({type:'scene', name:n}));
   fillSelect('integrator', s.integrators, s.settings.integrator,
              n => post({type:'setting', field:'integrator', value:n}));
-  fillSelect('filter', s.filters, window._filter || 'Mitchell Netravali',
-             n => {window._filter = n;});
+  fillSelect('filter', s.filters, s.filter,
+             n => post({type:'filter', name:n}));
   fillSettings('settings', s.settings, 'setting');
   fillSettings('post', s.post, 'post');
 }, 1000);

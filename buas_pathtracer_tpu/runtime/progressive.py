@@ -42,9 +42,13 @@ class ProgressiveRenderer:
         # active copies (committed at frame boundaries)
         self.settings: SceneSettings = scene.settings
         self.camera: Camera = scene.camera
-        # writable copies (the reference's scene->new_settings / new_camera)
+        self.filter_name: str = scene.filter_name
+        # writable copies (the reference's scene->new_settings / new_camera;
+        # the filter picker participates like any other setting — changing it
+        # resets accumulation, raytracer.cpp:700-724)
         self.new_settings: SceneSettings = scene.settings
         self.new_camera: Camera = scene.camera
+        self.new_filter: str = scene.filter_name
 
         self.accum = film.new_accumulation_buffer(h, w)
         self.frame_count = 0  # accumulated spp (AccumulationBuffer.frame_count)
@@ -53,6 +57,7 @@ class ProgressiveRenderer:
     # -- commit protocol ---------------------------------------------------
     def _needs_reset(self) -> bool:
         return (self.new_settings != self.settings
+                or self.new_filter != self.filter_name
                 or any(not np.array_equal(np.asarray(a), np.asarray(b))
                        for a, b in zip(jax.tree.leaves(self.new_camera),
                                        jax.tree.leaves(self.camera))))
@@ -62,12 +67,13 @@ class ProgressiveRenderer:
         if self._needs_reset():
             self.settings = self.new_settings
             self.camera = self.new_camera
+            self.filter_name = self.new_filter
             self.accum = film.new_accumulation_buffer(self.h, self.w)
             self.frame_count = 0
         self.accum, stats = render_frame(
             self.ps, self.settings, self.camera, self.accum,
             jnp.uint32(self.frame_count), h=self.h, w=self.w,
-            n_lights=self.n_lights, filter_name=self.scene.filter_name)
+            n_lights=self.n_lights, filter_name=self.filter_name)
         self.frame_count += int(self.settings.samples_per_pixel)
         self.last_stats = np.asarray(stats)
         return self.frame_count

@@ -81,3 +81,23 @@ def test_take_picture_resumes_from_checkpoint(tmp_path):
     r3 = ProgressiveRenderer(small_scene(), 16, 16)
     r3.take_picture(8, str(tmp_path / "c.png"))
     np.testing.assert_array_equal(r2.resolve_hdr(), r3.resolve_hdr())
+
+
+def test_filter_change_commits_and_resets():
+    """The viewer filter picker participates in the commit protocol: changing
+    new_filter resets accumulation at the next frame boundary and the frame
+    renders with the NEW filter (same image as a renderer constructed with
+    that filter from scratch)."""
+    r = ProgressiveRenderer(small_scene(), 16, 16)
+    r.render_one_frame()
+    assert r.frame_count == 1
+    r.new_filter = "Lanczos 4"
+    r.render_one_frame()
+    assert r.frame_count == 1  # reset happened, then one frame accumulated
+    assert r.filter_name == "Lanczos 4"
+
+    sc = small_scene()
+    sc.filter_name = "Lanczos 4"
+    ref = ProgressiveRenderer(sc, 16, 16)
+    ref.render_one_frame()
+    np.testing.assert_array_equal(r.resolve_hdr(), ref.resolve_hdr())
