@@ -17,10 +17,18 @@ neighbor q = p + (dx, dy).
 
 from __future__ import annotations
 
+import jax
 import jax.numpy as jnp
 
 from ..core.vec import Vec3
 from ..ops.filters import FilterOption
+
+# Stencils up to this radius are fully unrolled at trace time (25-81 taps:
+# XLA fuses the whole splat into one kernel).  Beyond it the (2r+1)^2 tap
+# count makes COMPILE time explode (Lanczos 12 = 625 taps took >8 min to
+# compile), so wide filters scan over dy with an unrolled dx row instead —
+# same math, trace size linear in r.
+_UNROLL_RADIUS = 4
 
 
 def new_accumulation_buffer(h: int, w: int) -> jnp.ndarray:
@@ -49,14 +57,27 @@ def splat_pass(color: Vec3, jitter_x, jitter_y, filt: FilterOption) -> jnp.ndarr
     jy = jnp.pad(jitter_y, [(r, r), (r, r)])
 
     out = jnp.zeros((h, w, 4), jnp.float32)
-    for dy in range(-r, r + 1):
+
+    def row(out, dy, win, wjx, wjy):
+        """Accumulate one dy row of the stencil (dx unrolled)."""
+        fy = filt.f(-dy - wjy)
         for dx in range(-r, r + 1):
-            # neighbor q = p + (dx, dy): shifted window of the padded arrays
-            win = sp[r + dy:r + dy + h, r + dx:r + dx + w]
-            wjx = jx[r + dy:r + dy + h, r + dx:r + dx + w]
-            wjy = jy[r + dy:r + dy + h, r + dx:r + dx + w]
-            wgt = filt.f(-dx - wjx) * filt.f(-dy - wjy)
-            out = out + win * wgt[..., None]
+            wgt = filt.f(-dx - wjx[:, r + dx:r + dx + w]) \
+                * fy[:, r + dx:r + dx + w]
+            out = out + win[:, r + dx:r + dx + w] * wgt[..., None]
+        return out
+
+    if r <= _UNROLL_RADIUS:
+        for dy in range(-r, r + 1):
+            out = row(out, float(dy), sp[r + dy:r + dy + h],
+                      jx[r + dy:r + dy + h], jy[r + dy:r + dy + h])
+        return out
+
+    def dy_step(out, dy):
+        sl = lambda a: jax.lax.dynamic_slice_in_dim(a, r + dy, h, axis=0)
+        return row(out, dy.astype(jnp.float32), sl(sp), sl(jx), sl(jy)), None
+
+    out, _ = jax.lax.scan(dy_step, out, jnp.arange(-r, r + 1, dtype=jnp.int32))
     return out
 
 

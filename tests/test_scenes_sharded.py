@@ -45,16 +45,31 @@ from buas_pathtracer_tpu.parallel.mesh import ShardedRenderer, make_mesh
 from buas_pathtracer_tpu.runtime import film
 from buas_pathtracer_tpu.runtime.render import render_frame
 
+FILTER = %(filter)r
+WITH_ENV = %(with_env)r
+
+def build(w, h):
+    sc = load_scene("Cornell Box", w, h)
+    sc.settings = replace(sc.settings, samples_per_pixel=1,
+                          max_bounce_count=3)
+    sc.filter_name = FILTER
+    if WITH_ENV:
+        # synthetic equirect HDR with a bright hot-spot: exercises the
+        # replicated CDF tables + env-NEE path under GSPMD
+        eh, ew = 16, 32
+        env = np.full((eh, ew, 3), 0.05, np.float32)
+        env[3, 7] = (40.0, 30.0, 10.0)
+        sc.env_map = env
+    return sc
+
 n_dev = len(jax.devices())
-w, h = 24, 8 * n_dev
-sc = load_scene("Cornell Box", w, h)
-sc.settings = replace(sc.settings, samples_per_pixel=1, max_bounce_count=3)
+w, h = 24, 8 * n_dev  # 8 rows/device: a Lanczos-12 halo spans >1 shard
+sc = build(w, h)
 r = ShardedRenderer(sc, w, h, mesh=make_mesh(n_dev))
 r.step(); r.step()
 sharded = r.resolve()
 
-sc2 = load_scene("Cornell Box", w, h)
-sc2.settings = sc.settings
+sc2 = build(w, h)
 ps = sc2.pack()
 accum = film.new_accumulation_buffer(h, w)
 for f_i in range(2):
@@ -67,7 +82,16 @@ print("SHARDED_OK")
 """
 
 
-def test_sharded_matches_single_device():
+@pytest.mark.parametrize("filter_name,with_env", [
+    ("Mitchell Netravali", False),
+    # radius-12 filter with 8 rows/device: the splat halo covers 3 neighbor
+    # shards each way — GSPMD must lower it to a (correct) multi-hop halo
+    # exchange, not just a nearest-neighbor one
+    ("Lanczos 12", False),
+    # replicated env CDF tables + env-NEE + psum'd stats under sharding
+    ("Mitchell Netravali", True),
+])
+def test_sharded_matches_single_device(filter_name, with_env):
     """Row-sharded SPMD render == single-device render (same program, GSPMD
     only changes placement; the splat halo exchange must be exact).
 
@@ -77,7 +101,8 @@ def test_sharded_matches_single_device():
     import subprocess
     import sys
     res = subprocess.run(
-        [sys.executable, "-c", SHARDED_SCRIPT],
+        [sys.executable, "-c",
+         SHARDED_SCRIPT % {"filter": filter_name, "with_env": with_env}],
         capture_output=True, text=True, timeout=540,
         cwd=os.path.dirname(os.path.dirname(os.path.abspath(__file__))))
     assert "SHARDED_OK" in res.stdout, res.stderr[-2000:]
