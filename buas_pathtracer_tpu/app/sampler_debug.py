@@ -19,7 +19,7 @@ def _collect_samples(strategy: int, dim: int, px: int, py: int,
     xs = jnp.full((n,), px, jnp.uint32)
     ys = jnp.full((n,), py, jnp.uint32)
     idx = jnp.arange(n, dtype=jnp.uint32)
-    s = smp.make_sampler(xs, ys, idx)
+    s = smp.make_sampler(xs, ys, idx, strategy=strategy)
     s, u, v = smp.sample_2d(s, strategy, dim, 0)
     return np.stack([np.asarray(u), np.asarray(v)], axis=1)
 
@@ -70,7 +70,8 @@ def noise_image(strategy: int, dim: int = smp.SampleDimension.AA,
     ys, xs = np.meshgrid(np.arange(size), np.arange(size), indexing="ij")
     s = smp.make_sampler(jnp.asarray(xs.reshape(-1), jnp.uint32),
                          jnp.asarray(ys.reshape(-1), jnp.uint32),
-                         jnp.zeros(size * size, jnp.uint32))
+                         jnp.zeros(size * size, jnp.uint32),
+                         strategy=strategy)
     s, u, v = smp.sample_2d(s, strategy, dim, 0)
     img = np.zeros((size, size, 3), np.uint8)
     img[..., 0] = (np.asarray(u).reshape(size, size) * 255).astype(np.uint8)

@@ -13,12 +13,25 @@ Strategies:
                       within the stratum (samplers.cpp:48-80, 119-135).  The
                       permutation tables are generated locally (seeded numpy
                       shuffles) — same construction, our own data.
-  - ``BLUE_NOISE``    the reference ships Heitz/Belcour Owen-scrambled-Sobol
-                      *tables* (blue_noise_samplers/); the TPU-native
-                      equivalent is computed hash-based Owen-scrambled Sobol
-                      (Burley 2020, "Practical Hash-based Owen Scrambling"):
-                      pure uint32 VPU math, no table gathers, no 256-sample /
-                      4-dimension limits.
+  - ``BLUE_NOISE``    screen-space blue-noise error distribution.  The
+                      reference ships Heitz/Belcour rank-xor/scramble-xor
+                      Owen-Sobol *tables* (blue_noise_samplers/*.cpp,
+                      samplers.cpp:27-28,101-102) whose point is that the MC
+                      error image's power spectrum is pushed to high
+                      frequencies.  The TPU build reaches the same property
+                      by a different published route (Georgiev & Fajardo
+                      2016, "Blue-noise Dithered Sampling"): ONE shared
+                      Owen-scrambled Sobol' sequence (Burley 2020 hash-based
+                      scrambling) toroidally shifted per pixel by
+                      void-and-cluster blue-noise masks (utils/bluenoise.py,
+                      own data), one mask channel per sample dimension.
+                      Neighboring pixels get maximally-separated shifts, so
+                      at low spp their estimator errors anti-correlate —
+                      measured as a high-frequency-biased error spectrum in
+                      tests/test_sampler.py.  The shifts are gathered ONCE
+                      per frame in ``make_sampler`` (outside the bounce
+                      loop) and carried in the Sampler state: zero in-loop
+                      gathers (CLAUDE.md pitfall 4).
 
 All functions are batched over rays and jit-safe; ``strategy`` and
 ``dimension`` are static, ``bounce`` may be traced.
@@ -149,6 +162,45 @@ def sobol_owen_2d(sample_index, pixel_hash, dimension: int):
     return _u32_to_unit_float(sx), _u32_to_unit_float(sy)
 
 
+def _sobol_base_2d(sample_index, dimension: int):
+    """The SHARED (pixel-independent) Owen-Sobol' point for a dimension —
+    the base sequence that per-pixel blue-noise shifts rotate."""
+    dk = jnp.uint32((0x9E3779B9 * (2 * dimension + 1)) & 0xFFFFFFFF)
+    shuffled = _nested_uniform_scramble(
+        jnp.asarray(sample_index, U32), rng.hash_u32(dk, jnp.uint32(0xA511E9B3)))
+    sx, sy = _sobol_2d(shuffled)
+    sx = _nested_uniform_scramble(sx, rng.hash_u32(dk, jnp.uint32(0x63D83595)))
+    sy = _nested_uniform_scramble(sy, rng.hash_u32(dk, jnp.uint32(0x9C8FB2A7)))
+    return _u32_to_unit_float(sx), _u32_to_unit_float(sy)
+
+
+# ---------------------------------------------------------------------------
+# Blue-noise shift masks (Georgiev & Fajardo 2016 toroidal dithering)
+# ---------------------------------------------------------------------------
+
+BN_TILE = 64
+N_BN_CHANNELS = 2 * len(SampleDimension)  # (u, v) per sample dimension
+
+_bn_masks_cache: np.ndarray | None = None
+
+
+def _bn_masks() -> np.ndarray:
+    """(BN_TILE, BN_TILE, N_BN_CHANNELS) float32 shifts in [0,1): one
+    void-and-cluster blue-noise threshold matrix per (dimension, axis), own
+    seeds/data (utils/bluenoise.py).  Generated once per process (~0.5 s per
+    channel) and cached."""
+    global _bn_masks_cache
+    if _bn_masks_cache is None:
+        from ..utils.bluenoise import void_and_cluster
+        chans = [
+            void_and_cluster(BN_TILE, seed=0xB1E + 7919 * k).astype(np.float32)
+            / (BN_TILE * BN_TILE)
+            for k in range(N_BN_CHANNELS)
+        ]
+        _bn_masks_cache = np.stack(chans, axis=-1)
+    return _bn_masks_cache
+
+
 # ---------------------------------------------------------------------------
 # Sampler context
 # ---------------------------------------------------------------------------
@@ -158,22 +210,40 @@ class Sampler(NamedTuple):
     """Batched sampler state (one per ray).
 
     ``x``/``y`` pixel coords, ``sample_index`` the canonical accumulated
-    sample index (frame_count + s, raytracer.cpp:429-439), and a carried
-    xorshift ``state`` for the white-noise draws.
+    sample index (frame_count + s, raytracer.cpp:429-439), a carried
+    xorshift ``state`` for the white-noise draws, and ``bn`` the per-pixel
+    blue-noise shifts, (N_BN_CHANNELS, N) when the strategy is BLUE_NOISE
+    (gathered ONCE at construction, outside any bounce loop) and (0, N)
+    otherwise.
     """
 
     x: jnp.ndarray  # (N,) uint32
     y: jnp.ndarray  # (N,) uint32
     sample_index: jnp.ndarray  # (N,) or scalar uint32
     state: jnp.ndarray  # (N,) uint32 xorshift chain
+    bn: jnp.ndarray  # (N_BN_CHANNELS, N) float32 shifts, or (0, N)
 
 
-def make_sampler(x, y, sample_index, frame_entropy=0) -> Sampler:
+def make_sampler(x, y, sample_index, frame_entropy=0,
+                 strategy: int = -1) -> Sampler:
+    """Pass ``strategy`` so the BLUE_NOISE shift table is gathered here —
+    once per frame pass, at standalone speed — instead of inside the
+    integrator's bounce loop (in-loop gathers are the measured perf wall,
+    CLAUDE.md pitfall 4)."""
     x = jnp.asarray(x, U32)
     y = jnp.asarray(y, U32)
     sample_index = jnp.asarray(sample_index, U32)
     seed = rng.hash_u32(rng.hash_coordinate_2d(x, y), sample_index, jnp.uint32(frame_entropy))
-    return Sampler(x, y, sample_index, rng.seed_state(seed))
+    if strategy == Strategy.BLUE_NOISE:
+        # .copy(): fresh numpy object per trace -> embedded HLO literal
+        # (see _stratified_2d for the jax-0.9.0 rationale)
+        masks = jnp.asarray(_bn_masks().copy())  # (T, T, K)
+        tx = (x & jnp.uint32(BN_TILE - 1)).astype(jnp.int32)
+        ty = (y & jnp.uint32(BN_TILE - 1)).astype(jnp.int32)
+        bn = masks[ty, tx, :].T  # (K, N): channel reads are sublane slices
+    else:
+        bn = jnp.zeros((0,) + x.shape, jnp.float32)
+    return Sampler(x, y, sample_index, rng.seed_state(seed), bn)
 
 
 def _stratified_2d(s: Sampler, dim: int, u_jit, v_jit):
@@ -214,13 +284,25 @@ def sample_2d(s: Sampler, strategy: int, dim: int, bounce) -> tuple:
 
     if strategy == Strategy.STRATIFIED:
         u0, v0 = _stratified_2d(s, dim, ju, jv)
-    else:  # BLUE_NOISE -> computed Owen-Sobol
-        pixel_hash = rng.hash_coordinate_2d(s.x, s.y)
-        u0, v0 = sobol_owen_2d(s.sample_index, pixel_hash, int(dim))
+    else:  # BLUE_NOISE: shared Owen-Sobol + per-pixel blue-noise rotation
+        u0, v0 = _blue_noise_2d(s, int(dim))
 
     # Only the first bounce is low-discrepancy (samplers.cpp:31, 86-88).
     first = jnp.asarray(bounce) == 0
     return s, jnp.where(first, u0, ju), jnp.where(first, v0, jv)
+
+
+def _blue_noise_2d(s: Sampler, dim: int):
+    """Cranley-Patterson rotation of the shared sequence by the pixel's
+    blue-noise shift (Georgiev & Fajardo 2016).  Falls back to hash-based
+    per-pixel Owen-Sobol for dimensions beyond the mask channels or when the
+    sampler was built without BLUE_NOISE shifts (make_sampler strategy arg)."""
+    if 2 * dim + 1 < s.bn.shape[0]:
+        bu, bv = _sobol_base_2d(s.sample_index, dim)
+        return (jnp.mod(bu + s.bn[2 * dim], 1.0),
+                jnp.mod(bv + s.bn[2 * dim + 1], 1.0))
+    pixel_hash = rng.hash_coordinate_2d(s.x, s.y)
+    return sobol_owen_2d(s.sample_index, pixel_hash, dim)
 
 
 def sample_1d(s: Sampler, strategy: int, dim: int, bounce) -> tuple:
@@ -233,8 +315,7 @@ def sample_1d(s: Sampler, strategy: int, dim: int, bounce) -> tuple:
     if strategy == Strategy.STRATIFIED:
         u0 = _stratified_1d(s, dim, ju)
     else:
-        pixel_hash = rng.hash_coordinate_2d(s.x, s.y)
-        u0, _ = sobol_owen_2d(s.sample_index, pixel_hash, int(dim))
+        u0, _ = _blue_noise_2d(s, int(dim))
 
     first = jnp.asarray(bounce) == 0
     return s, jnp.where(first, u0, ju)

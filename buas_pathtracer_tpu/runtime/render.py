@@ -78,7 +78,7 @@ def render_frame_impl(ps: PackedScene, settings: SceneSettings, cam: Camera,
     stats = jnp.zeros(3) + anchor  # [rays, BVH node visits, triangle tests]
     for s_i in range(int(settings.samples_per_pixel)):
         sample_index = frame_index + s_i
-        sampler = smp.make_sampler(px, py, sample_index)
+        sampler = smp.make_sampler(px, py, sample_index, strategy=strategy)
 
         sampler, aa_u, aa_v = smp.sample_2d(sampler, strategy,
                                             smp.SampleDimension.AA, 0)

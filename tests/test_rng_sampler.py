@@ -36,7 +36,8 @@ def test_seed_decorrelation():
 
 def _draw_grid(strategy, n_samples=64, dim=sampler.SampleDimension.AA):
     s = sampler.make_sampler(
-        jnp.zeros(1, jnp.uint32), jnp.zeros(1, jnp.uint32), jnp.uint32(0)
+        jnp.zeros(1, jnp.uint32), jnp.zeros(1, jnp.uint32), jnp.uint32(0),
+        strategy=strategy,
     )
     us, vs = [], []
     for i in range(n_samples):
@@ -56,14 +57,60 @@ def test_stratified_covers_strata():
     assert len(cells) == 64
 
 
-def test_sobol_owen_stratification():
+def test_blue_noise_sequence_is_low_discrepancy():
+    """The per-pixel BLUE_NOISE sequence (shared Owen-Sobol + toroidal shift)
+    must retain LDS integration quality: the 64-sample estimate of
+    ∫∫ u·v du dv = 1/4 should beat white noise (SE ≈ 0.028) by a wide
+    margin.  A Cranley-Patterson rotation preserves low discrepancy even
+    though it breaks exact elementary-interval stratification."""
     u, v = _draw_grid(sampler.Strategy.BLUE_NOISE)
     assert u.min() >= 0.0 and u.max() < 1.0
-    # first 64 Owen-scrambled Sobol' points: 8x8 elementary intervals each hit once
+    err = abs(float(np.mean(u * v)) - 0.25)
+    assert err < 0.01, err
+    # and the coarse 8x8 occupancy stays near-uniform (a toroidal shift of
+    # a (0,6,2)-net puts at most a few points per cell, never clumps)
     sx = np.floor(u * 8).astype(int)
     sy = np.floor(v * 8).astype(int)
-    cells = set(zip(sx.tolist(), sy.tolist()))
-    assert len(cells) == 64
+    counts = np.zeros((8, 8), int)
+    np.add.at(counts, (sy, sx), 1)
+    assert counts.max() <= 3
+    assert (counts > 0).sum() >= 40
+
+
+def test_blue_noise_error_spectrum_is_high_frequency():
+    """THE defining property of the reference's 'Optimized Blue Noise'
+    sampler (Heitz/Belcour tiles, blue_noise_samplers/*.cpp): the per-pixel
+    MC error image at low spp concentrates its power spectrum at HIGH
+    frequencies (looks like blue noise), unlike the Uniform strategy's flat
+    (white) spectrum.  Estimate ∫ u du = 1/2 per pixel at 4 spp over a
+    64x64 pixel grid and compare low-frequency energy fractions."""
+    size, spp = 64, 4
+    ys, xs = np.meshgrid(np.arange(size), np.arange(size), indexing="ij")
+    xs = jnp.asarray(xs.reshape(-1), jnp.uint32)
+    ys = jnp.asarray(ys.reshape(-1), jnp.uint32)
+
+    def err_image(strategy):
+        est = np.zeros(size * size)
+        for i in range(spp):
+            s = sampler.make_sampler(xs, ys, jnp.uint32(i), strategy=strategy)
+            s, u, _ = sampler.sample_2d(
+                s, strategy, sampler.SampleDimension.AA, jnp.int32(0))
+            est += np.asarray(u)
+        return (est / spp - 0.5).reshape(size, size)
+
+    def low_freq_fraction(e):
+        p = np.abs(np.fft.fft2(e)) ** 2
+        p[0, 0] = 0.0  # exclude DC
+        fy = np.minimum(np.arange(size), size - np.arange(size))
+        r = np.hypot(fy[:, None], fy[None, :])
+        low = p[r <= size / 8].sum()
+        return low / p.sum()
+
+    lf_blue = low_freq_fraction(err_image(sampler.Strategy.BLUE_NOISE))
+    lf_white = low_freq_fraction(err_image(sampler.Strategy.UNIFORM))
+    # white noise: energy fraction ~ area fraction (~5%); blue noise pushes
+    # nearly everything out of the low-frequency disk
+    assert lf_blue < 0.5 * lf_white, (lf_blue, lf_white)
 
 
 def test_deep_bounce_is_white_noise_and_in_range():
