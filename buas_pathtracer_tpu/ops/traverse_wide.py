@@ -63,9 +63,24 @@ def _batcher_network(n: int):
 
 _SORT_NET = _batcher_network(WIDE)
 
-# 32768 measured fastest on v5e (16k pays lax.map serialization, 128k+ pays
-# lockstep divergence: the whole chunk spins until its worst ray finishes)
-CHUNK = int(os.environ.get("BUAS_TRAVERSE_CHUNK", 32768))
+# Lockstep batch width.  262144 measured optimal on v5e round 2: the real
+# loop body costs ~4.0 ns/ray/iter at 262k lanes vs ~17 ns/ray at 32k (a
+# ~0.5 ms fixed per-iteration floor dominates small batches) and ~7.6 ns/ray
+# at 2M (state/index traffic falls out of cache).
+CHUNK = int(os.environ.get("BUAS_TRAVERSE_CHUNK", 262144))
+
+# Iteration caps for the phased restart traversal (final phase is uncapped).
+# The lockstep loop pays its WORST lane every iteration: the bench scene
+# measures mean 3.0 row visits/ray but ~62 iterations to retire the worst
+# primary ray — a 20x tail tax.  Phases bound it: run `cap` iterations for
+# everyone, then re-pack the unfinished rays (argsort, standalone-fast) into
+# a minimal number of chunks and RESTART them from the root with their
+# carried best-hit t, which prunes every subtree already resolved.  Restart
+# (vs resuming) means no per-level stack state survives a phase, so the
+# inter-phase compaction moves only the 11-word ray/hit tuple.
+PHASE_CAPS = tuple(
+    int(x) for x in os.environ.get("BUAS_PHASE_CAPS", "8").split(",")
+    if x.strip())
 
 
 def _i32(x):
@@ -82,7 +97,8 @@ def _key_bits(x):
 
 
 def _traverse_chunk(rows, depth: int, o: Vec3, d: Vec3, t0, ignored_prim,
-                    occlusion: bool):
+                    occlusion: bool, cap: int | None = None,
+                    full_state: bool = False, carry=None, start_done=None):
     """Core loop over one chunk of rays. Returns (t, prim, tri, bv, bw, nv, tt).
 
     TPU layout discipline: ray-state vectors are (nc,) arrays — XLA lays the
@@ -99,13 +115,16 @@ def _traverse_chunk(rows, depth: int, o: Vec3, d: Vec3, t0, ignored_prim,
     lanes = jnp.arange(depth, dtype=jnp.int32)[:, None]  # (D, 1)
 
     def cond(st):
-        return jnp.any(st[0] != DONE)
+        alive = jnp.any(st[0] != DONE)
+        if cap is not None:
+            return alive & (st[12] < cap)
+        return alive
 
     row_w = rows.shape[1]
     eye = jnp.eye(row_w, dtype=jnp.float32)
 
     def body(st):
-        (cur, level, seqs, bases, rems, t, prim, tri, bv, bw, nv, tt) = st
+        (cur, level, seqs, bases, rems, t, prim, tri, bv, bw, nv, tt, it) = st
         seqs = list(seqs)
         active = cur != DONE
         g = rows[jnp.clip(cur, 0, n_rows - 1)]  # (nc, row_w) gather
@@ -267,57 +286,273 @@ def _traverse_chunk(rows, depth: int, o: Vec3, d: Vec3, t0, ignored_prim,
         nv = nv + jnp.sum(active.astype(jnp.int32))
         tt = tt + jnp.sum(jnp.where(tri_ok, jnp.minimum(count, WIDE_LEAF), 0))
         return (cur, level, tuple(seqs), bases, rems, t, prim, tri, bv, bw,
-                nv, tt)
+                nv, tt, it + 1)
 
     z32 = jnp.zeros((), jnp.int32)
+    if carry is None:
+        prim0 = jnp.full(n, -1, jnp.int32)
+        tri0 = jnp.full(n, -1, jnp.int32)
+        bv0 = jnp.zeros(n)
+        bw0 = jnp.zeros(n)
+    else:  # restart phase: resume with the best hit found so far
+        prim0, tri0, bv0, bw0 = carry
+    cur0 = jnp.zeros(n, jnp.int32)  # root row 0
+    if start_done is not None:
+        # already-finished rays in a mixed boundary chunk start DONE and
+        # cost zero iterations instead of re-walking the tree
+        cur0 = jnp.where(start_done, DONE, cur0)
     st0 = (
-        jnp.zeros(n, jnp.int32),  # cur = root row 0
+        cur0,
         jnp.full(n, -1, jnp.int32),  # level: empty stack
         tuple(jnp.zeros((depth,) + n, jnp.int32) for _ in range(SEQ_WORDS)),
         jnp.zeros((depth,) + n, jnp.int32),
         jnp.zeros((depth,) + n, jnp.int32),  # rems: remaining children/level
         t0,
-        jnp.full(n, -1, jnp.int32),
-        jnp.full(n, -1, jnp.int32),
-        jnp.zeros(n), jnp.zeros(n), z32, z32,
+        prim0,
+        tri0,
+        bv0, bw0, z32, z32, z32,
     )
     out = jax.lax.while_loop(cond, body, st0)
+    if full_state:
+        return out
     return out[5], out[6], out[7], out[8], out[9], out[10], out[11]
+
+
+# packed phased-state column indices: one (npad, 16) f32 matrix holds the
+# whole inter-phase ray state so each phase boundary moves state with ONE
+# row gather.  Integer fields (ign/prim/tri/origin index) are stored as
+# exact float VALUES (all < 2^24; see _i32 / CLAUDE.md pitfall 1).
+_C_OX, _C_OY, _C_OZ, _C_DX, _C_DY, _C_DZ = 0, 1, 2, 3, 4, 5
+_C_T, _C_BV, _C_BW, _C_IGN, _C_PRIM, _C_TRI, _C_ORIG, _C_DONE = \
+    6, 7, 8, 9, 10, 11, 12, 13
+_NCOL = 16
 
 
 def _traverse(ps: PackedScene, o: Vec3, d: Vec3, t0, ignored_prim,
               occlusion: bool):
-    """Chunked dispatch over the flat ray batch."""
+    """Phased restart dispatch over the flat ray batch.
+
+    Phase p runs every not-yet-finished ray for at most ``PHASE_CAPS[p]``
+    lockstep iterations; rays still walking are then packed to the front
+    (one stable argsort — their pixel-order coherence survives) and restarted
+    from the root with their carried best hit, whose t bound prunes the
+    already-resolved subtrees.  Chunks past the live prefix are skipped
+    (``lax.cond``), so the cost of a pass tracks the number of rays that
+    still need iterations instead of batch-width x worst-ray (measured mean
+    3.0 visits/ray vs ~62 lockstep iterations on the bench scene — a 20x
+    tail the phases reclaim).  Rays whose ``t0 < 0`` (dead wavefront lanes,
+    non-facing shadow queries) finish in one iteration of phase one and are
+    excluded from every later phase, which is what makes late mostly-dead
+    bounces cheap without any caller-side compaction.
+
+    Data movement discipline (measured, tools/prof10): scalar-array gathers
+    of a chunk from the batch cost ~3 ms EACH (12 of them made the naive
+    step 10x slower than its loop), while row gathers, scatters and argsort
+    are cheap.  So the inter-phase state lives in ONE (npad, 16) f32 matrix:
+    each phase does a single row-gather to sort unfinished rays first, the
+    state stays permuted across phases (each chunk slice is then contiguous
+    and free), per-chunk field access goes through one MXU transpose, and
+    one row-scatter at the very end restores caller order via the carried
+    original-index column."""
     depth = int(ps.wide_depth_arr.shape[0])
     rows = ps.wide_rows
     n = int(t0.shape[0])
-    if n <= CHUNK:
+    if n <= CHUNK or not PHASE_CAPS:
         return _traverse_chunk(rows, depth, o, d, t0, ignored_prim, occlusion)
 
+    # Runtime liveness dispatch: when the live rays fit ONE chunk (late
+    # bounces, mostly-dead wavefronts, sparse shadow queries), compact them
+    # into a single chunk and skip every full-batch data-movement pass.
+    # The full phased pipeline costs ~275 ms at 2M rays REGARDLESS of
+    # liveness (its boundaries/restore are full-batch); this path is ~90 ms
+    # and shrinks further with the loop's actual work.
+    n_live = jnp.sum((t0 >= 0.0).astype(jnp.int32))
+    args = (o.x, o.y, o.z, d.x, d.y, d.z, t0, ignored_prim)
+    return jax.lax.cond(
+        n_live <= CHUNK,
+        lambda a: _traverse_compact(rows, depth, a, occlusion),
+        lambda a: _traverse_full(rows, depth, a, occlusion),
+        args)
+
+
+def _traverse_compact(rows, depth, args, occlusion: bool):
+    """Low-liveness path: pack the 8 input fields, row-gather the (at most
+    CHUNK) live rays to the front, run ONE uncapped lockstep chunk, scatter
+    the 5 results back.  Rays outside the gathered prefix are all done
+    (t0 < 0) and keep their default outputs."""
+    ox, oy, oz, dx, dy, dz, t0, ign = args
+    n = int(t0.shape[0])
+    done0 = t0 < 0.0
+    perm = jnp.argsort(done0, stable=True)
+    ids = perm[:CHUNK]  # all live rays live here when this branch runs
+
+    eye8 = jnp.eye(8, dtype=jnp.float32)
+    cols = jnp.stack([ox, oy, oz, dx, dy, dz, t0,
+                      ign.astype(jnp.float32)])  # (8, n)
+    big = jax.lax.dot_general(
+        cols, eye8, (((0,), (0,)), ((), ())),
+        precision=jax.lax.Precision.HIGHEST,
+        preferred_element_type=jnp.float32)  # (n, 8) rows
+    blk = big[ids]  # ONE row gather of the live prefix
+    bT = jax.lax.dot_general(
+        eye8, blk, (((1,), (1,)), ((), ())),
+        precision=jax.lax.Precision.HIGHEST,
+        preferred_element_type=jnp.float32)  # (8, CHUNK)
+    out = _traverse_chunk(rows, depth, Vec3(bT[0], bT[1], bT[2]),
+                          Vec3(bT[3], bT[4], bT[5]), bT[6], _i32(bT[7]),
+                          occlusion)
+
+    def back(col, default):
+        return default.at[ids].set(col, unique_indices=True)
+
+    prim = back(out[1], jnp.full((n,), -1, jnp.int32))
+    if occlusion:
+        # occlusion callers consume ONLY prim (intersect_shadow_ray);
+        # scatters are per-index latency-bound, so skip the other four
+        z = jnp.zeros((n,))
+        return t0, prim, jnp.full((n,), -1, jnp.int32), z, z, out[5], out[6]
+    t = back(out[0], t0)
+    tri = back(out[2], jnp.full((n,), -1, jnp.int32))
+    bv = back(out[3], jnp.zeros((n,)))
+    bw = back(out[4], jnp.zeros((n,)))
+    return t, prim, tri, bv, bw, out[5], out[6]
+
+
+def _traverse_full(rows, depth, args, occlusion: bool):
+    o = Vec3(args[0], args[1], args[2])
+    d = Vec3(args[3], args[4], args[5])
+    t0, ignored_prim = args[6], args[7]
+    n = int(t0.shape[0])
     c = -(-n // CHUNK)
-    pad = c * CHUNK - n
+    npad = c * CHUNK
+    assert npad < (1 << 24), "origin-index column must stay float-exact"
 
     def pad1(x, fill=0.0):
-        return jnp.pad(x, (0, pad), constant_values=fill).reshape(c, CHUNK)
+        return jnp.pad(x, (0, npad - n), constant_values=fill)
 
-    po = Vec3(pad1(o.x), pad1(o.y), pad1(o.z))
-    pd = Vec3(pad1(d.x), pad1(d.y, 1.0), pad1(d.z))
-    pt = pad1(t0, -1.0)  # padded rays: t0 < 0 kills every hit test
-    pig = jnp.pad(ignored_prim, (0, pad), constant_values=-1).reshape(c, CHUNK)
+    t_in = pad1(t0, -1.0)  # padded rays: t0 < 0 -> done before phase one
+    cols = [
+        pad1(o.x), pad1(o.y), pad1(o.z),
+        pad1(d.x), pad1(d.y, 1.0), pad1(d.z),
+        t_in,
+        jnp.zeros((npad,)), jnp.zeros((npad,)),  # bv, bw
+        jnp.pad(ignored_prim, (0, npad - n),
+                constant_values=-1).astype(jnp.float32),
+        jnp.full((npad,), -1.0),  # prim
+        jnp.full((npad,), -1.0),  # tri
+        jnp.arange(npad, dtype=jnp.float32),  # original position
+        (t_in < 0.0).astype(jnp.float32),  # done
+        jnp.zeros((npad,)), jnp.zeros((npad,)),
+    ]
+    # ONE materialized transpose (cols-on-sublanes -> rows): MXU identity dot
+    eye = jnp.eye(_NCOL, dtype=jnp.float32)
+    big = jax.lax.dot_general(
+        jnp.stack(cols), eye, (((0,), (0,)), ((), ())),
+        precision=jax.lax.Precision.HIGHEST,
+        preferred_element_type=jnp.float32)  # (npad, 16)
 
-    def one(args):
-        oo_x, oo_y, oo_z, dd_x, dd_y, dd_z, tt0, ig = args
-        return _traverse_chunk(rows, depth, Vec3(oo_x, oo_y, oo_z),
-                               Vec3(dd_x, dd_y, dd_z), tt0, ig, occlusion)
+    nv = jnp.zeros((), jnp.int32)
+    tt = jnp.zeros((), jnp.int32)
+    chunk_ix = jnp.arange(c, dtype=jnp.int32) * CHUNK
+    done = t_in < 0.0  # (npad,) carried OUTSIDE the matrix: reading a
+    # column back out of row-major `big` would be a full cross-lane relayout
 
-    t, prim, tri, bv, bw, nv, tt = jax.lax.map(
-        one, (po.x, po.y, po.z, pd.x, pd.y, pd.z, pt, pig))
+    for p_i, cap in enumerate(list(PHASE_CAPS) + [None]):
+        if p_i == 0:
+            # phase 1 runs in NATURAL order: rays start pixel-coherent, and
+            # a whole-batch permute costs ~50 ms (tools/prof13) — instead a
+            # cheap per-chunk reduce skips chunks with no live rays at all
+            # (dead wavefronts cluster spatially), and start_done lanes
+            # cost zero iterations inside mixed chunks.
+            flags = jnp.sum((~done).reshape(c, CHUNK), axis=1) > 0
+        else:
+            # later phases compact the scattered survivors to the front:
+            # stable partition, unfinished rays first (keeps pixel-order
+            # coherence).  Gather form on purpose: TPU random access is
+            # per-index latency-bound and scatters cost ~4x gathers at
+            # this size (prof13: row gather 46 ms, row scatter 205 ms,
+            # bool argsort ~3 ms).
+            perm = jnp.argsort(done, stable=True)
+            big = big[perm]  # state STAYS permuted across phases
+            n_todo = npad - jnp.sum(done.astype(jnp.int32))
+            flags = chunk_ix < n_todo
+        e_done = eye[_C_DONE]  # (16,) picks the done column via one matvec
 
-    def unpad(x):
-        return x.reshape(-1)[:n]
+        def step(carry_st, xs, cap=cap, e_done=e_done):
+            nv, tt = carry_st
+            flag, blk = xs  # blk: (CHUNK, 16) contiguous rows
 
-    return (unpad(t), unpad(prim), unpad(tri), unpad(bv), unpad(bw),
-            jnp.sum(nv), jnp.sum(tt))
+            def run(blk):
+                # per-field reads must be sublane slices: transpose through
+                # the MXU (exact; same trick as the traversal loop body)
+                bT = jax.lax.dot_general(
+                    eye, blk, (((1,), (1,)), ((), ())),
+                    precision=jax.lax.Precision.HIGHEST,
+                    preferred_element_type=jnp.float32)  # (16, CHUNK)
+                go = Vec3(bT[_C_OX], bT[_C_OY], bT[_C_OZ])
+                gd = Vec3(bT[_C_DX], bT[_C_DY], bT[_C_DZ])
+                sd = bT[_C_DONE] > 0.5
+                out = _traverse_chunk(
+                    rows, depth, go, gd, bT[_C_T], _i32(bT[_C_IGN]),
+                    occlusion, cap=cap, full_state=True,
+                    carry=(_i32(bT[_C_PRIM]), _i32(bT[_C_TRI]),
+                           bT[_C_BV], bT[_C_BW]),
+                    start_done=sd)
+                fin = (out[0] == DONE) | sd
+                new_cols = [
+                    bT[_C_OX], bT[_C_OY], bT[_C_OZ],
+                    bT[_C_DX], bT[_C_DY], bT[_C_DZ],
+                    out[5], out[8], out[9], bT[_C_IGN],
+                    out[6].astype(jnp.float32), out[7].astype(jnp.float32),
+                    bT[_C_ORIG], fin.astype(jnp.float32),
+                    bT[14], bT[15],
+                ]
+                nblk = jax.lax.dot_general(
+                    jnp.stack(new_cols), eye, (((0,), (0,)), ((), ())),
+                    precision=jax.lax.Precision.HIGHEST,
+                    preferred_element_type=jnp.float32)  # (CHUNK, 16)
+                return nblk, fin, out[10], out[11]
+
+            def skip(blk):
+                # done flags ride out via one matvec (a column slice of the
+                # row-major block would relayout the whole block)
+                fin = jax.lax.dot_general(
+                    blk, e_done, (((1,), (0,)), ((), ())),
+                    precision=jax.lax.Precision.HIGHEST,
+                    preferred_element_type=jnp.float32) > 0.5
+                return (blk, fin, jnp.zeros((), jnp.int32),
+                        jnp.zeros((), jnp.int32))
+
+            nblk, fin, dnv, dtt = jax.lax.cond(flag, run, skip, blk)
+            return (nv + dnv, tt + dtt), (nblk, fin)
+
+        (nv, tt), (big3, fins) = jax.lax.scan(
+            step, (nv, tt), (flags, big.reshape(c, CHUNK, _NCOL)))
+        big = big3.reshape(npad, _NCOL)
+        done = fins.reshape(npad)
+
+    # restore caller order via the origin-index column: one MXU transpose
+    # (sublane-slice field reads) + 5 SCALAR scatters.  A single (npad, 16)
+    # row scatter measured ~205 ms vs ~54 ms for this form (tools/prof13) —
+    # TPU scatter cost is per-index latency-bound, and scalar scatters move
+    # only the 5 result fields instead of all 16.
+    bT = jax.lax.dot_general(
+        eye, big, (((1,), (1,)), ((), ())),
+        precision=jax.lax.Precision.HIGHEST,
+        preferred_element_type=jnp.float32)  # (16, npad)
+    orig = _i32(bT[_C_ORIG])
+    z = jnp.zeros((npad,), jnp.float32)
+
+    def restore(col):
+        return z.at[orig].set(col, unique_indices=True)[:n]
+
+    prim = _i32(restore(bT[_C_PRIM]))
+    if occlusion:
+        # occlusion callers consume ONLY prim; skip 4 of the 5 scatters
+        zn = z[:n]
+        return t0, prim, jnp.full((n,), -1, jnp.int32), zn, zn, nv, tt
+    return (restore(bT[_C_T]), prim, _i32(restore(bT[_C_TRI])),
+            restore(bT[_C_BV]), restore(bT[_C_BW]), nv, tt)
 
 
 def intersect_shadow_ray(ps: PackedScene, ray_o: Vec3, ray_d: Vec3, max_t,
