@@ -111,21 +111,30 @@ def safe_jit(fn, *, _force_fallback: bool = False, **jit_kwargs):
         flat_in = jax.tree.leaves(dynamic)
         return jax.tree.unflatten(out_tree, runner(consts, flat_in))
 
+    # number of dispatch-cache errors seen; once the bug RECURS the fast
+    # path is considered poisoned for good and calls go straight to the
+    # cached consts-as-args runner.  (clear_cache+retry fixes a one-off,
+    # but when the poisoned state re-forms on every call the retry turns
+    # into a full recompile per call — measured ~13 s/frame on CPU.)
+    state = {"errors": 0}
+
     @functools.wraps(fn)
     def wrapper(*args, **kwargs):
-        if _force_fallback:
+        if _force_fallback or state["errors"] >= 2:
             return run_fallback(args, kwargs)
         try:
             return jitted(*args, **kwargs)
         except (ValueError, TypeError) as e:
             if not is_dispatch_cache_error(e):
                 raise
+            state["errors"] += 1
         try:
             jitted.clear_cache()
             return jitted(*args, **kwargs)
         except (ValueError, TypeError) as e:
             if not is_dispatch_cache_error(e):
                 raise
+            state["errors"] += 1
         return run_fallback(args, kwargs)
 
     wrapper.clear_cache = jitted.clear_cache  # pass-through for callers
