@@ -71,6 +71,7 @@ def advanced(ps: PackedScene, settings: SceneSettings, sampler: smp.Sampler,
     is_diffuse = bool(settings.importance_sample_diffuse)
     rr = bool(settings.russian_roulette)
     caustics = bool(settings.caustics)
+    ref_mis = bool(getattr(settings, "reference_mis", False))
 
     lane = jnp.arange(STACK_DEPTH, dtype=jnp.int32)
 
@@ -158,14 +159,22 @@ def advanced(ps: PackedScene, settings: SceneSettings, sampler: smp.Sampler,
             # would have used for this direction.  Converges to ground truth
             # (tests/test_integrators.py).
             brdf_pdf = (dot(prev_n, d) / PI) if is_diffuse else (1.0 / (2.0 * PI))
-            hitc = jnp.maximum(hit.hit_id, 0)
-            light_r = ps.prim_r[hitc]
-            area = 2.0 * PI * light_r * light_r
-            # shading point of the previous bounce == this ray's origin
-            pick_pdf = light_pick_pdf(ps, o, hit.hit_id, is_lights)
-            light_pdf_sa = pick_pdf * hit.t * hit.t / jnp.maximum(
-                cos_theta_i * area, 1e-12)
-            w_brdf = brdf_pdf / jnp.maximum(brdf_pdf + light_pdf_sa, 1e-30)
+            if ref_mis:
+                # the reference's exact arithmetic (integrators.cpp:660-669):
+                # light_pdf = t^2/cos with NO area or pick-pdf term, and the
+                # sum's reciprocal MULTIPLIES throughput (which already
+                # carries 1/brdf_pdf) instead of forming a weight in [0,1]
+                light_pdf_ref = hit.t * hit.t / jnp.maximum(cos_theta_i, 1e-12)
+                w_brdf = 1.0 / jnp.maximum(light_pdf_ref + brdf_pdf, 1e-30)
+            else:
+                hitc = jnp.maximum(hit.hit_id, 0)
+                light_r = ps.prim_r[hitc]
+                area = 2.0 * PI * light_r * light_r
+                # shading point of the previous bounce == this ray's origin
+                pick_pdf = light_pick_pdf(ps, o, hit.hit_id, is_lights)
+                light_pdf_sa = pick_pdf * hit.t * hit.t / jnp.maximum(
+                    cos_theta_i * area, 1e-12)
+                w_brdf = brdf_pdf / jnp.maximum(brdf_pdf + light_pdf_sa, 1e-30)
             mis_case = hit_emissive & ~allow_direct & (bounce > 0)
             total = vwhere(mis_case, total + throughput * emit * w_brdf, total)
 
@@ -232,11 +241,18 @@ def advanced(ps: PackedScene, settings: SceneSettings, sampler: smp.Sampler,
             # light_rcp_pdf is the PICK probability (reference convention,
             # integrators.cpp:163,175); full NEE pdf = pick * 1/solid_angle.
             light_pdf_sa = light_rcp_pdf / jnp.maximum(solid_angle, 1e-12)
-            if use_mis:
+            if use_mis and ref_mis:
+                # the reference's exact arithmetic (integrators.cpp:757-768):
+                # the pick pdf multiplies the SUM of the strategy pdfs, so
+                # the brdf term is wrongly scaled by it too (identical only
+                # when the pick pdf is 1, i.e. a single light)
+                brdf_pdf = (n_dot_l / PI) if is_diffuse else (1.0 / (2.0 * PI))
+                pdf = (1.0 / jnp.maximum(solid_angle, 1e-12) + brdf_pdf) \
+                    * light_rcp_pdf
+            elif use_mis:
                 # balance heuristic: divide by the SUM of the strategies'
-                # pdfs.  (The reference sums before multiplying by the pick
-                # pdf, integrators.cpp:757-768 — a slight misweighting; see
-                # the BRDF-hit side note above.)
+                # pdfs (converges to ground truth; see the BRDF-hit side
+                # note above)
                 brdf_pdf = (n_dot_l / PI) if is_diffuse else (1.0 / (2.0 * PI))
                 pdf = light_pdf_sa + brdf_pdf
             else:

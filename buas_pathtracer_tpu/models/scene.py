@@ -62,6 +62,15 @@ class SceneSettings:
     samples_per_pixel: int = 1
     max_bounce_count: int = 12
     integrator: str = "Advanced Pathtracer"
+    # Evidence flag, not a feature: reproduce the reference's EXACT MIS
+    # arithmetic (integrators.cpp:660-669 add-pdfs emissive-hit weight with
+    # light_pdf = t^2/cos and no area/pick terms; :757-768 pick-rcp
+    # multiplied into the summed NEE pdf).  The TPU build uses the proper
+    # one-sample balance heuristic by default because the reference's form
+    # does not converge to its own ground-truth integrators —
+    # tests/test_integrators.py::test_reference_mis_form_is_biased renders
+    # both against brute force and demonstrates the bias quantitatively.
+    reference_mis: bool = False
 
 
 @dataclass(frozen=True)
