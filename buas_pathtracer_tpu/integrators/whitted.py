@@ -1,14 +1,20 @@
 """Whitted-style integrator (integrators.cpp:311-426), wavefront form.
 
 The reference recurses and SPLITS rays at dielectric surfaces (refract +
-reflect).  A wavefront batch cannot fork lanes, so the split becomes a
-single-sample stochastic selection: reflect with probability R, refract with
-probability 1-R, each with weight 1 — an unbiased estimator of the
-reference's ``lerp(refracted, reflected, R)`` that converges to the same
-image as samples accumulate.  The non-medium case needs no split at all: the
-diffuse term is evaluated locally with weight (1-R) and the reflected
-continuation carries weight R * metallic_color (the reference's
-``lerp(diffuse, reflected, R)`` exactly).
+reflect).  A wavefront batch cannot fork lanes, so the wavefront carries ONE
+queued continuation lane per pixel: the FIRST dielectric split each path
+meets runs both branches deterministically — the parent lane continues the
+reflection with weight R while the queued lane traces the refraction with
+weight (1-R), exactly the reference's ``lerp(refracted, reflected, R)``.
+Deeper splits (queue slot taken) fall back to single-sample stochastic
+selection — reflect with probability R, refract with 1-R, weight 1 — an
+unbiased estimator that converges to the same image as samples accumulate.
+The first split dominates a 1-spp preview (primary rays hitting glass), so
+the deterministic pass removes most of the stochastic variant's noise
+(tests/test_integrators.py::test_whitted_split_reduces_noise).  The
+non-medium case needs no split at all: the diffuse term is evaluated locally
+with weight (1-R) and the reflected continuation carries weight
+R * metallic_color (the reference's ``lerp(diffuse, reflected, R)`` exactly).
 
 Distributed direct lighting over ALL lights with one sample each
 (integrators.cpp:348-370), ambient term (:371), Beer's law when exiting a
@@ -31,23 +37,51 @@ from ..ops.shading import fresnel_dielectric, refract, sample_on_unit_sphere
 from .common import evaluate_material, random_point_on_light, sample_sky
 
 
+import os as _os
+
+# Deterministic first-split (the queued continuation lane).  The flag exists
+# for A/B evidence only: tests compare the split against the stochastic
+# fallback to show the variance reduction.  Callers flipping it at runtime
+# must jax.clear_caches() (it is trace-time, not part of the jit key).
+TRUE_SPLIT = _os.environ.get("BUAS_WHITTED_SPLIT", "1") != "0"
+
+
 def _gv(v: Vec3, i) -> Vec3:
     return Vec3(v.x[i], v.y[i], v.z[i])
 
 
 def whitted(ps: PackedScene, settings: SceneSettings, sampler: smp.Sampler,
             ray_o: Vec3, ray_d: Vec3, n_lights: int = 0):
-    n = ray_o.shape
+    n_in = int(ray_o.x.shape[0])
     max_bounces = int(settings.max_bounce_count)
     strategy = int(settings.sampling_strategy)
     L = int(ps.light_prim.shape[0]) if n_lights > 0 else 0
+
+    # double the wavefront: lane i+n_in is pixel i's queued refraction
+    # continuation (dormant until its path's first dielectric split)
+    def dup(x):
+        return jnp.concatenate([x, x])
+
+    def dupv(v: Vec3) -> Vec3:
+        return Vec3(dup(v.x), dup(v.y), dup(v.z))
+
+    ray_o, ray_d = dupv(ray_o), dupv(ray_d)
+    child_state = rng.seed_state(rng.hash_u32(sampler.state,
+                                             jnp.uint32(0x5C0FFEE5)))
+    sampler = smp.Sampler(
+        dup(sampler.x), dup(sampler.y), sampler.sample_index,
+        jnp.concatenate([sampler.state, child_state]),
+        jnp.concatenate([sampler.bn, sampler.bn], axis=-1)
+        if sampler.bn.size else jnp.zeros((0, 2 * n_in), jnp.float32))
+    n = (2 * n_in,)
 
     def cond(st):
         bounce, alive = st[0], st[1]
         return (bounce < max_bounces) & jnp.any(alive)
 
     def body(st):
-        bounce, alive, o, d, throughput, total, s, prev_mat, stats = st
+        (bounce, alive, o, d, throughput, total, s, prev_mat, stats,
+         child_used) = st
 
         hit = traverse.intersect_scene(
             ps, o, d, max_t=jnp.where(alive, traverse.BIG_T, -1.0))
@@ -121,11 +155,34 @@ def whitted(ps: PackedScene, settings: SceneSettings, sampler: smp.Sampler,
         refr_d = refract(d, N, cos_theta_i, cos_theta_t, eta_ratio)
 
         live = found & ~emissive
+        split_req = live & is_medium
 
-        # medium: stochastic branch selection of the reference's ray split
-        pick_reflect = branch_u < reflectance
+        # deterministic first split: a first-half lane whose queue slot is
+        # still free forks for real — parent keeps the REFLECT branch with
+        # weight R, the child lane (activated below) gets the refraction
+        # with weight (1-R).  TIR (R ~ 1) doesn't waste the slot.
+        act = (split_req[:n_in] & ~child_used & ~alive[n_in:]
+               & (reflectance[:n_in] < 0.999))
+        if not TRUE_SPLIT:
+            act = jnp.zeros_like(act)
+        det = jnp.concatenate([act, jnp.zeros_like(act)])
+
+        # child continuation values (from this bounce's INPUT throughput)
+        ch_d = Vec3(refr_d.x[:n_in], refr_d.y[:n_in], refr_d.z[:n_in])
+        ch_tp_full = throughput * tp_beer * (1.0 - reflectance)
+        ch_tp = Vec3(ch_tp_full.x[:n_in], ch_tp_full.y[:n_in],
+                     ch_tp_full.z[:n_in])
+        ch_o = Vec3(hit.p.x[:n_in] + ch_d.x * EPSILON,
+                    hit.p.y[:n_in] + ch_d.y * EPSILON,
+                    hit.p.z[:n_in] + ch_d.z * EPSILON)
+        ch_prev = mat_eff[:n_in]
+
+        # medium: stochastic branch selection elsewhere (slot taken or
+        # second-half lane splitting again)
+        pick_reflect = det | (branch_u < reflectance)
+        med_tp_refl = vwhere(det, throughput * reflectance, throughput)
         med_d = vwhere(pick_reflect, refl_d, refr_d)
-        med_tp = vwhere(pick_reflect, throughput, throughput * tp_beer)
+        med_tp = vwhere(pick_reflect, med_tp_refl, throughput * tp_beer)
         med_prev = jnp.where(pick_reflect, -1, mat_eff)
 
         # non-medium: local diffuse + reflected continuation with weight R
@@ -144,10 +201,37 @@ def whitted(ps: PackedScene, settings: SceneSettings, sampler: smp.Sampler,
 
         o = vwhere(cont, new_o, o)
         d = vwhere(cont, new_d, d)
-        return bounce + 1, cont, o, d, throughput, total, s, prev_mat, stats
 
-    st0 = (jnp.zeros((), jnp.int32), jnp.ones(n, bool), ray_o, ray_d,
-           full_like(ray_o, 1.0), zeros(n), sampler, jnp.full(n, -1, jnp.int32),
-           jnp.zeros(3))
+        # enqueue the refraction on the child lane (static slice + concat,
+        # no gathers: child of lane i is lane i + n_in)
+        def enq(x, cv):
+            return jnp.concatenate([x[:n_in], jnp.where(act, cv, x[n_in:])])
+
+        o = Vec3(enq(o.x, ch_o.x), enq(o.y, ch_o.y), enq(o.z, ch_o.z))
+        d = Vec3(enq(d.x, ch_d.x), enq(d.y, ch_d.y), enq(d.z, ch_d.z))
+        throughput = Vec3(enq(throughput.x, ch_tp.x),
+                          enq(throughput.y, ch_tp.y),
+                          enq(throughput.z, ch_tp.z))
+        cont = enq(cont, jnp.ones_like(act))
+        prev_mat = enq(prev_mat, ch_prev)
+        child_used = child_used | act
+
+        return (bounce + 1, cont, o, d, throughput, total, s, prev_mat,
+                stats, child_used)
+
+    st0 = (jnp.zeros((), jnp.int32),
+           jnp.concatenate([jnp.ones(n_in, bool), jnp.zeros(n_in, bool)]),
+           ray_o, ray_d,
+           full_like(ray_o, 1.0), zeros(n), sampler,
+           jnp.full(n, -1, jnp.int32),
+           jnp.zeros(3),
+           jnp.zeros(n_in, bool))
     out = jax.lax.while_loop(cond, body, st0)
-    return out[5], out[6], out[8]
+    total2, s2 = out[5], out[6]
+    # fold the queued-continuation lanes back onto their pixels
+    total = Vec3(total2.x[:n_in] + total2.x[n_in:],
+                 total2.y[:n_in] + total2.y[n_in:],
+                 total2.z[:n_in] + total2.z[n_in:])
+    s_out = smp.Sampler(s2.x[:n_in], s2.y[:n_in], s2.sample_index,
+                        s2.state[:n_in], s2.bn[:, :n_in])
+    return total, s_out, out[8]

@@ -27,3 +27,15 @@ import pytest  # noqa: E402
 @pytest.fixture
 def nprng():
     return np.random.RandomState(1234)
+
+
+def pytest_collection_modifyitems(config, items):
+    """Tests marked `slow_convergence` only run when BUAS_SLOW_TESTS=1
+    (high-spp statistical bounds; minutes of runtime, meant for TPU or
+    nightly runs)."""
+    if os.environ.get("BUAS_SLOW_TESTS") == "1":
+        return
+    skip = pytest.mark.skip(reason="set BUAS_SLOW_TESTS=1 to run")
+    for item in items:
+        if "slow_convergence" in item.keywords:
+            item.add_marker(skip)
