@@ -83,7 +83,10 @@ def main():
                                     jnp.uint32((f_i + 1) * spp), h=h, w=w,
                                     n_lights=sc.n_lights,
                                     filter_name="Mitchell Netravali")
-    stats = jax.block_until_ready(stats)
+    # np.asarray forces a real host fetch: over the axon tunnel,
+    # block_until_ready alone can return before the dispatch queue drains
+    # and report impossible numbers (CLAUDE.md pitfall 4b)
+    stats = np.asarray(stats)
     t1 = time.perf_counter()
     # stats[0] counts rays (primary+bounce+shadow) for the LAST frame; frames
     # are identical workloads so scale by frame count.
