@@ -128,6 +128,11 @@ def safe_jit(fn, *, _force_fallback: bool = False, **jit_kwargs):
             if not is_dispatch_cache_error(e):
                 raise
             state["errors"] += 1
+            import sys as _sys
+            print(f"[jitfix] dispatch-cache error #{state['errors']} in "
+                  f"{getattr(fn, '__name__', fn)}: recovering "
+                  f"({'fallback' if state['errors'] >= 2 else 'recompile'})",
+                  file=_sys.stderr, flush=True)
         try:
             jitted.clear_cache()
             return jitted(*args, **kwargs)
