@@ -73,7 +73,11 @@ def advanced(ps: PackedScene, settings: SceneSettings, sampler: smp.Sampler,
     caustics = bool(settings.caustics)
     ref_mis = bool(getattr(settings, "reference_mis", False))
 
-    lane = jnp.arange(STACK_DEPTH, dtype=jnp.int32)
+    # stack layout is (DEPTH, N): rays stay on VPU lanes and level selects
+    # are cheap masked sums over the 8 sublane rows.  An (N, DEPTH) layout
+    # costs a full cross-lane relayout per take_along_axis (layout
+    # discipline, see ops/traverse_wide.py).
+    lane = jnp.arange(STACK_DEPTH, dtype=jnp.int32)[:, None]  # (D, 1)
 
     def cond(st):
         bounce, alive = st[0], st[1]
@@ -122,9 +126,9 @@ def advanced(ps: PackedScene, settings: SceneSettings, sampler: smp.Sampler,
         cos_theta_i = jnp.abs(cos_i0)
 
         surf_mat = hit.mat_id
-        top = jnp.take_along_axis(stack, stack_at[..., None], axis=-1)[..., 0]
-        below = jnp.take_along_axis(
-            stack, jnp.maximum(stack_at - 1, 0)[..., None], axis=-1)[..., 0]
+        top = jnp.sum(jnp.where(lane == stack_at[None, :], stack, 0), axis=0)
+        below = jnp.sum(jnp.where(
+            lane == jnp.maximum(stack_at - 1, 0)[None, :], stack, 0), axis=0)
         mat_i = jnp.where(inside, surf_mat, top)
         mat_t = jnp.where(inside, below, surf_mat)
 
@@ -212,8 +216,8 @@ def advanced(ps: PackedScene, settings: SceneSettings, sampler: smp.Sampler,
         pop = do_refract & found & inside & (stack_at > 0)
         push = do_refract & found & ~inside & (stack_at < STACK_DEPTH - 1)
         new_at = stack_at + push.astype(jnp.int32) - pop.astype(jnp.int32)
-        write = push[..., None] & (lane[None, :] == new_at[..., None])
-        stack = jnp.where(write, mat_t[..., None], stack)
+        write = push[None, :] & (lane == new_at[None, :])  # (D, N)
+        stack = jnp.where(write, mat_t[None, :], stack)
         stack_at = new_at
 
         # ---- diffuse branch (:725-795) ----
@@ -368,8 +372,12 @@ def advanced(ps: PackedScene, settings: SceneSettings, sampler: smp.Sampler,
             d = Vec3(g(d.x), g(d.y), g(d.z))
             throughput = Vec3(g(throughput.x), g(throughput.y), g(throughput.z))
             total = Vec3(g(total.x), g(total.y), g(total.z))
-            s = jax.tree.map(lambda a: g(a) if getattr(a, "ndim", 0) > 0 else a, s)
-            stack = g(stack)
+            # sampler leaves: (N,) arrays permute on axis 0, the blue-noise
+            # shift matrix (K, N) on axis 1, scalars pass through
+            s = jax.tree.map(
+                lambda a: (a[:, perm] if getattr(a, "ndim", 0) == 2
+                           else g(a) if getattr(a, "ndim", 0) == 1 else a), s)
+            stack = stack[:, perm]  # (D, N): rays are on axis 1
             stack_at = g(stack_at)
             is_specular = g(is_specular)
             prev_n = Vec3(g(prev_n.x), g(prev_n.y), g(prev_n.z))
@@ -385,7 +393,7 @@ def advanced(ps: PackedScene, settings: SceneSettings, sampler: smp.Sampler,
         full_like(ray_o, 1.0),
         zeros(n),
         sampler,
-        jnp.zeros(n + (STACK_DEPTH,), jnp.int32),  # material 0 == air
+        jnp.zeros((STACK_DEPTH,) + n, jnp.int32),  # material 0 == air
         jnp.zeros(n, jnp.int32),
         jnp.ones(n, bool),  # is_specular_bounce starts true (:615)
         zeros(n),
