@@ -69,18 +69,25 @@ def main():
     ps = sc.pack()
     accum = film.new_accumulation_buffer(h, w)
 
+    # per-run entropy: the axon terminal caches RESULTS of identical
+    # dispatches across processes, so repeated benches with identical
+    # frame indices can "run" without executing; distinct sample indices
+    # keep the workload statistically identical but uncacheable
+    seed = (int(time.time() * 1000) & 0x3FFF) * 64
+
     # warmup / compile
     accum, stats = render_frame(ps, sc.settings, sc.camera, accum,
-                                jnp.uint32(0), h=h, w=w,
+                                jnp.uint32(seed), h=h, w=w,
                                 n_lights=sc.n_lights,
                                 filter_name="Mitchell Netravali")
-    jax.block_until_ready(accum)
+    np.asarray(stats)  # REAL sync (block_until_ready can lie over axon)
 
     t0 = time.perf_counter()
     total_rays = 0.0
     for f_i in range(frames):
         accum, stats = render_frame(ps, sc.settings, sc.camera, accum,
-                                    jnp.uint32((f_i + 1) * spp), h=h, w=w,
+                                    jnp.uint32(seed + (f_i + 1) * spp),
+                                    h=h, w=w,
                                     n_lights=sc.n_lights,
                                     filter_name="Mitchell Netravali")
     # np.asarray forces a real host fetch: over the axon tunnel,

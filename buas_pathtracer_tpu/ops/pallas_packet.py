@@ -1,0 +1,414 @@
+"""Packet traversal: a Pallas TPU kernel walking the wide row BVH with one
+(8,128) ray block per grid step.
+
+Why this shape: every XLA formulation of per-ray traversal pays per-index
+random-access latency for the node fetch (measured ~4 ns/ray/iteration at
+best, plus whole-batch compaction passes, docs/PERFORMANCE.md round 2).  A
+BLOCK-COHERENT walk (classic wide-SIMD "packet tracing", cf. the reference's
+4-wide SSE packets, intersection.cpp:243-401) needs NO gathers at all: the
+1024 rays of a block visit the union of their node sets in lockstep, the
+current node index is a block-uniform SCALAR, and the row data loads as a
+scalar-indexed VMEM row — supported directly by Mosaic.  Coherent blocks
+(primary/shadow rays from neighboring pixels) visit ~2-4x the nodes of one
+ray; fully-dead blocks skip the walk entirely, so late mostly-dead bounces
+cost nothing without any compaction machinery.
+
+The BVH table must fit VMEM (~12 MB => ~45k rows); larger scenes fall back
+to the XLA phased path (ops/traverse_wide).  Tables, row layout, and hit
+semantics are IDENTICAL to ops/wide_bvh.py / traverse_wide.py; parity is
+enforced by tests/test_pallas_packet.py against the XLA path.
+"""
+
+from __future__ import annotations
+
+import functools
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+from jax.experimental import pallas as pl
+from jax.experimental.pallas import tpu as pltpu
+
+from ..core.vec import Vec3
+from ..models.scene import PRIM_SPHERE
+from . import intersect
+from .wide_bvh import KIND_INTERNAL, KIND_TRIS, WIDE, WIDE_LEAF
+
+BS, BL = 8, 128                 # ray block shape (sublanes, lanes)
+BLOCK = BS * BL                 # 1024 rays per grid step
+STACK = 192                     # block-shared stack bound (depth*W margin)
+BIG_T = 1e30
+VMEM_ROW_LIMIT = 45000          # ~11.5 MB of 256-byte rows
+
+_SORT_PAIRS = []                # Batcher network over the 8 child slots
+
+
+def _batcher(n):
+    pairs = []
+    t = 1
+    while t < n:
+        t <<= 1
+    p = t >> 1
+    while p > 0:
+        q, r, d = t >> 1, 0, p
+        while True:
+            for i in range(n - d):
+                if (i & p) == r:
+                    pairs.append((i, i + d))
+            if q == p:
+                break
+            d, q, r = q - p, q >> 1, p
+        p >>= 1
+    return pairs
+
+
+_SORT_PAIRS = _batcher(WIDE)
+KEY_MISS = 0x7FFFFFFF  # python int: a module-level jnp scalar would be
+                       # captured as a constant by pallas_call (rejected)
+
+
+def _kernel(rows_ref, ox, oy, oz, dx, dy, dz, t0r, ignr,
+            to, po, tro, bvo, bwo, nvo, stack, *, occlusion: bool):
+    o = Vec3(ox[:], oy[:], oz[:])
+    d = Vec3(dx[:], dy[:], dz[:])
+    t_in = t0r[:]
+    ign = ignr[:].astype(jnp.int32)  # exact float values < 2^24
+    inv_d = intersect.safe_inv_dir(d)
+
+    live0 = t_in >= 0.0
+    any_live = jnp.any(live0)
+
+    def walk(_):
+        def cond(st):
+            return st[0] > 0
+
+        def body(st):
+            sp, t, prim, tri, bv, bw, nv, blocked_i = st
+            blocked = blocked_i > 0  # carried as i32: Mosaic cannot yield
+            # vector<i1> from a while loop
+            sp = sp - 1
+            cur = stack[sp]
+            row = rows_ref[cur]  # (64,) block-uniform scalar-indexed read
+            kind = row[0].astype(jnp.int32)
+            # per-ray active = can still be improved (occlusion: not yet hit)
+            active = live0 & ~blocked if occlusion else live0
+
+            # ---------------- internal: push children any-hit-first --------
+            child_base = row[1].astype(jnp.int32)
+            keys = []
+            for c in range(WIDE):
+                s = 2 + 6 * c
+                t1x = (row[s + 0] - o.x) * inv_d.x
+                t2x = (row[s + 3] - o.x) * inv_d.x
+                t1y = (row[s + 1] - o.y) * inv_d.y
+                t2y = (row[s + 4] - o.y) * inv_d.y
+                t1z = (row[s + 2] - o.z) * inv_d.z
+                t2z = (row[s + 5] - o.z) * inv_d.z
+                tn = jnp.maximum(jnp.maximum(jnp.minimum(t1x, t2x),
+                                             jnp.minimum(t1y, t2y)),
+                                 jnp.minimum(t1z, t2z))
+                tf = jnp.minimum(jnp.minimum(jnp.maximum(t1x, t2x),
+                                             jnp.maximum(t1y, t2y)),
+                                 jnp.maximum(t1z, t2z))
+                hit_c = (tn < tf) & (tf > 0.0) & (tn < t) & active
+                anyh = jnp.any(hit_c)
+                # block-nearest key: min tn over hitting rays (scalar
+                # bitcast is unsupported in Mosaic, so sort float keys with
+                # an int payload swapped in parallel)
+                tmin = jnp.min(jnp.where(hit_c, jnp.maximum(tn, 0.0), BIG_T))
+                keys.append(jnp.where(anyh, tmin, jnp.float32(BIG_T * 2.0)))
+            pays = [jnp.int32(c) for c in range(WIDE)]
+            for (i, j) in _SORT_PAIRS:
+                swap = keys[i] > keys[j]
+                ki = jnp.where(swap, keys[j], keys[i])
+                kj = jnp.where(swap, keys[i], keys[j])
+                pi = jnp.where(swap, pays[j], pays[i])
+                pj = jnp.where(swap, pays[i], pays[j])
+                keys[i], keys[j], pays[i], pays[j] = ki, kj, pi, pj
+            # push FARTHEST first so the nearest pops first (LIFO)
+            is_int = kind == KIND_INTERNAL
+            for j in range(WIDE - 1, -1, -1):
+                ok = is_int & (keys[j] < BIG_T * 2.0) & (sp < STACK)
+                slot = child_base + pays[j]
+                # conditional scalar push (slot STACK is a scratch pad)
+                idx = jnp.where(ok, sp, jnp.int32(STACK))
+                stack[idx] = jnp.where(ok, slot, stack[idx])
+                sp = sp + ok.astype(jnp.int32)
+
+            # ---------------- triangle leaf --------------------------------
+            is_tri = kind == KIND_TRIS
+            count = row[1].astype(jnp.int32)
+            tri_base = row[2].astype(jnp.int32)
+            inst_t = row[3].astype(jnp.int32)
+            not_ign = inst_t != ign
+            hit_any_tri = jnp.zeros_like(active)
+            for k in range(WIDE_LEAF):
+                s = 8 + 9 * k
+                ax_, ay_, az_ = row[s], row[s + 1], row[s + 2]
+                e1x, e1y, e1z = row[s + 3], row[s + 4], row[s + 5]
+                e2x, e2y, e2z = row[s + 6], row[s + 7], row[s + 8]
+                pvx = d.y * e2z - d.z * e2y
+                pvy = d.z * e2x - d.x * e2z
+                pvz = d.x * e2y - d.y * e2x
+                det = e1x * pvx + e1y * pvy + e1z * pvz
+                ok = (det <= -intersect.TRI_EPS) | (det >= intersect.TRI_EPS)
+                inv_det = 1.0 / jnp.where(ok, det, 1.0)
+                tvx, tvy, tvz = o.x - ax_, o.y - ay_, o.z - az_
+                v_ = (tvx * pvx + tvy * pvy + tvz * pvz) * inv_det
+                ok = ok & (v_ >= 0.0) & (v_ <= 1.0)
+                qvx = tvy * e1z - tvz * e1y
+                qvy = tvz * e1x - tvx * e1z
+                qvz = tvx * e1y - tvy * e1x
+                w_ = (d.x * qvx + d.y * qvy + d.z * qvz) * inv_det
+                ok = ok & (w_ >= 0.0) & (v_ + w_ <= 1.0)
+                t_new = (e2x * qvx + e2y * qvy + e2z * qvz) * inv_det
+                ok = ok & (t_new >= intersect.TRI_EPS) & (t >= t_new)
+                h = ok & is_tri & not_ign & active & (k < count)
+                t = jnp.where(h, t_new, t)
+                prim = jnp.where(h, inst_t, prim)
+                tri = jnp.where(h, tri_base + k, tri)
+                bv = jnp.where(h, v_, bv)
+                bw = jnp.where(h, w_, bw)
+                hit_any_tri = hit_any_tri | h
+
+            # ---------------- analytic prim row ----------------------------
+            is_prim = (~is_int) & (~is_tri)
+            prim_id = row[1].astype(jnp.int32)
+            ptype = row[2].astype(jnp.int32)
+            m = [row[4 + i] for i in range(12)]
+            os_ox = m[0] * o.x + m[1] * o.y + m[2] * o.z + m[3]
+            os_oy = m[4] * o.x + m[5] * o.y + m[6] * o.z + m[7]
+            os_oz = m[8] * o.x + m[9] * o.y + m[10] * o.z + m[11]
+            os_dx = m[0] * d.x + m[1] * d.y + m[2] * d.z
+            os_dy = m[4] * d.x + m[5] * d.y + m[6] * d.z
+            os_dz = m[8] * d.x + m[9] * d.y + m[10] * d.z
+            os_o = Vec3(os_ox, os_oy, os_oz)
+            os_d = Vec3(os_dx, os_dy, os_dz)
+            hs, ts_ = intersect.sphere(os_o, os_d, row[16], t)
+            hb, tb_ = intersect.box(os_o, os_d,
+                                    Vec3(row[17], row[18], row[19]), t)
+            sph = ptype == PRIM_SPHERE
+            # NOTE: jnp.where on i1 vectors fails Mosaic legalization
+            # ('arith.select' of vector<i1>); use boolean algebra instead
+            ph = is_prim & (prim_id != ign) & active \
+                & ((hs & sph) | (hb & ~sph))
+            t = jnp.where(ph, jnp.where(sph, ts_, tb_), t)
+            prim = jnp.where(ph, prim_id, prim)
+            tri = jnp.where(ph, -1, tri)
+
+            if occlusion:
+                blocked = blocked | hit_any_tri | ph
+                # all live rays blocked -> drain the stack (early exit)
+                done = ~jnp.any(live0 & ~blocked)
+                sp = jnp.where(done, 0, sp)
+
+            nv = nv + jnp.sum(active.astype(jnp.int32))
+            return sp, t, prim, tri, bv, bw, nv, blocked.astype(jnp.int32)
+
+        stack[0] = jnp.int32(0)  # root
+        st0 = (jnp.int32(1),
+               jnp.where(live0, t_in, -1.0),
+               jnp.full((BS, BL), -1, jnp.int32),
+               jnp.full((BS, BL), -1, jnp.int32),
+               jnp.zeros((BS, BL), jnp.float32),
+               jnp.zeros((BS, BL), jnp.float32),
+               jnp.int32(0),
+               jnp.zeros((BS, BL), jnp.int32))
+        out = jax.lax.while_loop(cond, body, st0)
+        return out
+
+    def skip(_):
+        return (jnp.int32(0),
+                jnp.where(live0, t_in, -1.0),
+                jnp.full((BS, BL), -1, jnp.int32),
+                jnp.full((BS, BL), -1, jnp.int32),
+                jnp.zeros((BS, BL), jnp.float32),
+                jnp.zeros((BS, BL), jnp.float32),
+                jnp.int32(0),
+                jnp.zeros((BS, BL), jnp.int32))
+
+    _, t, prim, tri, bv, bw, nv, _ = jax.lax.cond(any_live, walk, skip,
+                                                  operand=None)
+    to[:] = jnp.where(live0, t, t_in)
+    po[:] = prim
+    tro[:] = tri
+    bvo[:] = bv
+    bwo[:] = bw
+    nvo[:] = jnp.full((BS, BL), nv, jnp.int32)
+
+
+@functools.partial(jax.jit, static_argnames=("occlusion", "interpret"))
+def packet_traverse(rows, o: Vec3, d: Vec3, t0, ignored_prim,
+                    occlusion: bool = False, interpret: bool = False):
+    """Block-coherent traversal over the whole flat ray batch.
+
+    Returns (t, prim, tri, bv, bw, node_visits, tri_tests) like
+    traverse_wide._traverse.  tri_tests is approximated as 0 (the packet
+    walk tests whole rows; per-ray counts are not tracked)."""
+    n = int(t0.shape[0])
+    nb = -(-n // BLOCK)
+    npad = nb * BLOCK
+
+    def pad(x, fill):
+        return jnp.pad(x, (0, npad - n), constant_values=fill
+                       ).reshape(nb, BS, BL)
+
+    args = (pad(o.x, 0.0), pad(o.y, 0.0), pad(o.z, 0.0),
+            pad(d.x, 0.0), pad(d.y, 1.0), pad(d.z, 0.0),
+            pad(t0, -1.0),
+            pad(ignored_prim.astype(jnp.float32), -1.0))
+
+    blk = lambda: pl.BlockSpec((None, BS, BL), lambda i: (i, 0, 0),
+                               memory_space=pltpu.VMEM)
+    out_shapes = (
+        jax.ShapeDtypeStruct((nb, BS, BL), jnp.float32),
+        jax.ShapeDtypeStruct((nb, BS, BL), jnp.int32),
+        jax.ShapeDtypeStruct((nb, BS, BL), jnp.int32),
+        jax.ShapeDtypeStruct((nb, BS, BL), jnp.float32),
+        jax.ShapeDtypeStruct((nb, BS, BL), jnp.float32),
+        jax.ShapeDtypeStruct((nb, BS, BL), jnp.int32),
+    )
+    grid_spec = pltpu.PrefetchScalarGridSpec(
+        num_scalar_prefetch=0,
+        grid=(nb,),
+        # rows: the WHOLE table resident in VMEM across all grid steps
+        in_specs=[pl.BlockSpec(memory_space=pltpu.VMEM)]
+        + [blk() for _ in range(8)],
+        out_specs=[blk() for _ in range(6)],
+        scratch_shapes=[pltpu.SMEM((STACK + 1,), jnp.int32)],
+    )
+    kernel = functools.partial(_kernel, occlusion=occlusion)
+    outs = pl.pallas_call(
+        kernel,
+        out_shape=out_shapes,
+        grid_spec=grid_spec,
+        interpret=interpret,
+    )(rows, *args)
+
+    nv_blocks = outs[5].reshape(nb, -1)[:, 0]  # per-block active-visit sums
+    t, prim, tri, bv, bw = (x.reshape(-1)[:n] for x in outs[:5])
+    return t, prim, tri, bv, bw, jnp.sum(nv_blocks), jnp.zeros((), jnp.int32)
+
+
+# ---------------------------------------------------------------------------
+# Dispatch policy: natural order for live wavefronts, Morton-compacted
+# prefix for sparse ones
+# ---------------------------------------------------------------------------
+
+import os as _os
+
+COMPACT_BLOCKS = 256            # compact path capacity: 256 blocks = 262144
+_MODE = _os.environ.get("BUAS_TRAVERSAL", "")
+
+
+def enabled_for(rows) -> bool:
+    """Packet kernel is the TPU default whenever the table fits VMEM; the
+    XLA phased path stays the fallback (and the CPU/interpret default)."""
+    if _MODE == "packet":
+        return True
+    if _MODE in ("wide", "threaded"):
+        return False
+    # the axon tunnel reports backend "axon" for the real TPU chip
+    return (jax.default_backend() in ("tpu", "axon")
+            and int(rows.shape[0]) <= VMEM_ROW_LIMIT)
+
+
+def _morton_key(o: Vec3, d: Vec3, lo, hi):
+    """Spatial+direction coherence key (6 bits/axis Morton of the origin,
+    direction octant minor) for packing bounce rays into coherent blocks.
+    lo/hi are traced (3,) scene-bound arrays."""
+    ext = jnp.maximum(jnp.asarray(hi, jnp.float32)
+                      - jnp.asarray(lo, jnp.float32), 1e-6)
+
+    def q6(c, l, e):
+        return jnp.clip((c - l) / e * 64.0, 0.0, 63.0).astype(jnp.int32)
+
+    def spread3(v):
+        v = (v | (v << 8)) & 0x0300F
+        v = (v | (v << 4)) & 0x030C3
+        v = (v | (v << 2)) & 0x09249
+        return v
+
+    m = (spread3(q6(o.x, lo[0], ext[0]))
+         | (spread3(q6(o.y, lo[1], ext[1])) << 1)
+         | (spread3(q6(o.z, lo[2], ext[2])) << 2))
+    oct_ = ((d.x < 0).astype(jnp.int32) * 4 + (d.y < 0).astype(jnp.int32) * 2
+            + (d.z < 0).astype(jnp.int32))
+    return (m << 3) | oct_
+
+
+def traverse_dispatch(rows, scene_lo, scene_hi, o: Vec3, d: Vec3, t0,
+                      ignored_prim, occlusion: bool, interpret: bool = False):
+    """packet_traverse with a runtime liveness policy.
+
+    Live wavefronts (primary rays, early bounces) run in their NATURAL
+    order — the caller generates rays in pixel-tile order, so blocks are
+    coherent and no data moves at all.  Sparse wavefronts (late bounces,
+    shadow queries with few facing rays) compact the live rays to a
+    Morton-sorted prefix of COMPACT_BLOCKS blocks first: scattered
+    survivors would otherwise keep EVERY block walking (the block does
+    union-of-members work), and Morton order restores block coherence for
+    post-bounce directions."""
+    n = int(t0.shape[0])
+    compact_n = COMPACT_BLOCKS * BLOCK
+    if n <= compact_n:
+        return packet_traverse(rows, o, d, t0, ignored_prim,
+                               occlusion=occlusion, interpret=interpret)
+
+    live = t0 >= 0.0
+    n_live = jnp.sum(live.astype(jnp.int32))
+    args = (o.x, o.y, o.z, d.x, d.y, d.z, t0,
+            ignored_prim.astype(jnp.float32))
+
+    def natural(args):
+        ox, oy, oz, dx, dy, dz, t0, ign = args
+        return packet_traverse(rows, Vec3(ox, oy, oz), Vec3(dx, dy, dz),
+                               t0, _i32e(ign), occlusion=occlusion,
+                               interpret=interpret)
+
+    def compacted(args):
+        ox, oy, oz, dx, dy, dz, t0, ign = args
+        live = t0 >= 0.0
+        key = jnp.where(live,
+                        _morton_key(Vec3(ox, oy, oz), Vec3(dx, dy, dz),
+                                    scene_lo, scene_hi),
+                        jnp.int32(0x7FFFFFFF))
+        ids = jnp.argsort(key, stable=True)[:compact_n]
+        # pack -> one row gather (per-index latency dominates; 8 scalar
+        # gathers would cost ~4x, docs/PERFORMANCE.md)
+        eye8 = jnp.eye(8, dtype=jnp.float32)
+        big = jax.lax.dot_general(
+            jnp.stack([ox, oy, oz, dx, dy, dz, t0, ign]), eye8,
+            (((0,), (0,)), ((), ())),
+            precision=jax.lax.Precision.HIGHEST,
+            preferred_element_type=jnp.float32)  # (n, 8)
+        blk = big[ids]
+        bT = jax.lax.dot_general(
+            eye8, blk, (((1,), (1,)), ((), ())),
+            precision=jax.lax.Precision.HIGHEST,
+            preferred_element_type=jnp.float32)  # (8, compact_n)
+        out = packet_traverse(rows, Vec3(bT[0], bT[1], bT[2]),
+                              Vec3(bT[3], bT[4], bT[5]), bT[6],
+                              _i32e(bT[7]), occlusion=occlusion,
+                              interpret=interpret)
+
+        def back(col, default):
+            return default.at[ids].set(col, unique_indices=True)
+
+        prim = back(out[1], jnp.full((n,), -1, jnp.int32))
+        if occlusion:
+            z = jnp.zeros((n,))
+            return (t0, prim, jnp.full((n,), -1, jnp.int32), z, z,
+                    out[5], out[6])
+        t = back(out[0], t0)
+        tri = back(out[2], jnp.full((n,), -1, jnp.int32))
+        bv = back(out[3], jnp.zeros((n,)))
+        bw = back(out[4], jnp.zeros((n,)))
+        return t, prim, tri, bv, bw, out[5], out[6]
+
+    return jax.lax.cond(n_live <= compact_n, compacted, natural, args)
+
+
+def _i32e(x):
+    """Exact-float-value int decode (CLAUDE.md pitfall 1)."""
+    return x.astype(jnp.int32)

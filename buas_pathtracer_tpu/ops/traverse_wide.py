@@ -357,6 +357,15 @@ def _traverse(ps: PackedScene, o: Vec3, d: Vec3, t0, ignored_prim,
     depth = int(ps.wide_depth_arr.shape[0])
     rows = ps.wide_rows
     n = int(t0.shape[0])
+
+    # Packet kernel (ops/pallas_packet.py): the TPU default whenever the
+    # BVH table fits VMEM — block-coherent walk, no gathers, measured 64
+    # Mrays/s closest-hit at 1080p vs 10.4 for the XLA phased path below.
+    from . import pallas_packet as pp
+    if pp.enabled_for(rows):
+        return pp.traverse_dispatch(rows, ps.scene_lo, ps.scene_hi,
+                                    o, d, t0, ignored_prim, occlusion)
+
     if n <= CHUNK or not PHASE_CAPS:
         return _traverse_chunk(rows, depth, o, d, t0, ignored_prim, occlusion)
 

@@ -47,6 +47,30 @@ def find_integrator(name: str) -> Callable:
     return INTEGRATORS.get(name, adv.advanced)
 
 
+# Pixel-tile ray ordering: a flat ray batch in 32x32-tile-major order makes
+# every 1024-ray packet (ops/pallas_packet.py) a compact screen tile —
+# measured 63.8 vs 11.6 Mrays/s against scanline order.  The permutation is
+# a pure reshape+transpose (bandwidth-speed layout copy, NOT a gather), and
+# the frame output is bit-identical: every per-ray computation keys off the
+# pixel coordinates carried with the ray, never the batch position.
+TILE_H = TILE_W = 32
+
+
+def _tiled(x2d):
+    h, w = x2d.shape
+    if h % TILE_H or w % TILE_W:
+        return x2d.reshape(-1)  # odd sizes: scanline order
+    return (x2d.reshape(h // TILE_H, TILE_H, w // TILE_W, TILE_W)
+            .transpose(0, 2, 1, 3).reshape(-1))
+
+
+def _untiled(flat, h, w):
+    if h % TILE_H or w % TILE_W:
+        return flat.reshape(h, w)
+    return (flat.reshape(h // TILE_H, w // TILE_W, TILE_H, TILE_W)
+            .transpose(0, 2, 1, 3).reshape(h, w))
+
+
 def render_frame_impl(ps: PackedScene, settings: SceneSettings, cam: Camera,
                       accum: jnp.ndarray, frame_index, *, h: int, w: int,
                       n_lights: int, filter_name: str = "Mitchell Netravali"):
@@ -61,8 +85,8 @@ def render_frame_impl(ps: PackedScene, settings: SceneSettings, cam: Camera,
 
     py_, px_ = jnp.meshgrid(jnp.arange(h, dtype=jnp.int32),
                             jnp.arange(w, dtype=jnp.int32), indexing="ij")
-    px = px_.reshape(-1)
-    py = py_.reshape(-1)
+    px = _tiled(px_)
+    py = _tiled(py_)
 
     # Anchor EVERY input leaf into the jaxpr (multiplied by zero, so XLA DCEs
     # the arithmetic but keeps the parameters).  jax 0.9.0's dead-argument
@@ -99,10 +123,10 @@ def render_frame_impl(ps: PackedScene, settings: SceneSettings, cam: Camera,
         stats = stats + st_
         color = color * rays.vignette
 
-        color_img = Vec3(color.x.reshape(h, w), color.y.reshape(h, w),
-                         color.z.reshape(h, w))
-        jx = (aa_u - 0.5).reshape(h, w)
-        jy = (aa_v - 0.5).reshape(h, w)
+        color_img = Vec3(_untiled(color.x, h, w), _untiled(color.y, h, w),
+                         _untiled(color.z, h, w))
+        jx = _untiled(aa_u - 0.5, h, w)
+        jy = _untiled(aa_v - 0.5, h, w)
         accum = film.accumulate(accum, film.splat_pass(color_img, jx, jy, filt))
 
     return accum, stats

@@ -1,0 +1,140 @@
+"""Packet-traversal kernel parity: the Pallas block-coherent walk must find
+the SAME hits as the XLA phased path (ops/traverse_wide) — same t, same
+winning primitive/triangle, same barycentrics — for closest-hit and
+occlusion queries, across primary-like and incoherent rays, live and dead
+lanes.  Runs the kernel in interpret mode on the CPU mesh."""
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+import pytest
+
+from buas_pathtracer_tpu.core import vec
+from buas_pathtracer_tpu.core.vec import Vec3, normalize
+from buas_pathtracer_tpu.models import camera as cm
+from buas_pathtracer_tpu.models.scene import Scene, SceneSettings
+from buas_pathtracer_tpu.ops import pallas_packet as pp
+from buas_pathtracer_tpu.ops import traverse_wide as tw
+from buas_pathtracer_tpu.utils.procgen import icosphere
+
+
+@pytest.fixture(scope="module")
+def scene():
+    sc = Scene(name="packet-parity")
+    grey = sc.add_diffuse_material((0.6, 0.6, 0.6), 1.2)
+    red = sc.add_diffuse_material((0.8, 0.2, 0.2), 1.4)
+    glass = sc.add_translucent_material((0.1, 0.05, 0.02), 1.5)
+    mesh = icosphere(subdivisions=3)  # 1280 tris
+    sc.add_mesh(grey, mesh, vec.translate([0, 1.2, 2.5]))
+    sc.add_mesh(red, mesh, vec.translate([-2.2, 1.0, 4.0]) * vec.scale(0.8))
+    sc.add_sphere(glass, 0.9, vec.translate([2.0, 1.0, 3.0]))
+    sc.add_box(grey, (8, 0.5, 8), vec.translate([0, -0.5, 3.0]))
+    sc.camera = cm.aim_camera_at(
+        cm.make_camera(p=(0, 2.0, -3.0), vfov=np.radians(55), aspect=1.0),
+        (0, 1.0, 2.5))
+    return sc
+
+
+def _rays(sc, n, seed=0, incoherent=False, dead_frac=0.0):
+    k = jax.random.PRNGKey(seed)
+    if incoherent:
+        px = jax.random.uniform(k, (n,)) * 4 - 2
+        py = jax.random.uniform(jax.random.fold_in(k, 1), (n,)) * 3
+        pz = jax.random.uniform(jax.random.fold_in(k, 2), (n,)) * 4
+        g = jax.random.normal(jax.random.fold_in(k, 3), (3, n))
+        o = Vec3(px, py, pz)
+        d = normalize(Vec3(g[0], g[1], g[2]))
+    else:
+        side = int(np.sqrt(n))
+        ys, xs = jnp.meshgrid(jnp.arange(side), jnp.arange(side),
+                              indexing="ij")
+        xs = jnp.pad(xs.reshape(-1), (0, n - side * side)).astype(jnp.float32)
+        ys = jnp.pad(ys.reshape(-1), (0, n - side * side)).astype(jnp.float32)
+        z = jnp.zeros((n,))
+        pr = cm.generate_rays(sc.camera, xs, ys, side, side,
+                              z + 0.5, z + 0.5, z, z, 0.0, 1.0, 6, 0.0, 0.0)
+        o, d = pr.o, pr.d
+    t0 = jnp.full((n,), tw.BIG_T)
+    if dead_frac:
+        dead = jax.random.uniform(jax.random.fold_in(k, 7), (n,)) < dead_frac
+        t0 = jnp.where(dead, -1.0, t0)
+    ign = jnp.full((n,), -1, jnp.int32)
+    return o, d, t0, ign
+
+
+CASES = [
+    dict(incoherent=False, dead_frac=0.0),
+    dict(incoherent=True, dead_frac=0.0),
+    dict(incoherent=True, dead_frac=0.6),
+]
+
+
+@pytest.mark.parametrize("case", CASES)
+def test_closest_hit_parity(scene, case):
+    ps = scene.pack()
+    n = 2048
+    o, d, t0, ign = _rays(scene, n, **case)
+    ref = tw._traverse(ps, o, d, t0, ign, occlusion=False)
+    out = pp.packet_traverse(ps.wide_rows, o, d, t0, ign,
+                             occlusion=False, interpret=True)
+    np.testing.assert_allclose(np.asarray(out[0]), np.asarray(ref[0]),
+                               rtol=1e-5, atol=1e-5)
+    np.testing.assert_array_equal(np.asarray(out[1]), np.asarray(ref[1]))
+    np.testing.assert_array_equal(np.asarray(out[2]), np.asarray(ref[2]))
+    # barycentrics are only consumed for mesh hits (tri >= 0); lanes where
+    # an analytic prim finally won may carry stale don't-care values whose
+    # content depends on visit order
+    mesh = np.asarray(ref[2]) >= 0
+    np.testing.assert_allclose(np.asarray(out[3])[mesh],
+                               np.asarray(ref[3])[mesh],
+                               rtol=1e-4, atol=1e-5)
+    np.testing.assert_allclose(np.asarray(out[4])[mesh],
+                               np.asarray(ref[4])[mesh],
+                               rtol=1e-4, atol=1e-5)
+
+
+@pytest.mark.parametrize("case", CASES)
+def test_occlusion_parity(scene, case):
+    ps = scene.pack()
+    n = 2048
+    o, d, t0, ign = _rays(scene, n, seed=3, **case)
+    # finite shadow-like max_t
+    t0 = jnp.where(t0 > 0, 6.0, t0)
+    ref = tw._traverse(ps, o, d, t0, ign, occlusion=True)
+    out = pp.packet_traverse(ps.wide_rows, o, d, t0, ign,
+                             occlusion=True, interpret=True)
+    # occlusion contract: only prim>=0 matters
+    np.testing.assert_array_equal(np.asarray(out[1]) >= 0,
+                                  np.asarray(ref[1]) >= 0)
+
+
+def test_dispatch_compacted_branch_parity(scene, monkeypatch):
+    """traverse_dispatch's sparse path (Morton-compacted prefix) must agree
+    with the XLA reference; shrink the compact capacity so a small batch
+    exercises it in interpret mode."""
+    monkeypatch.setattr(pp, "COMPACT_BLOCKS", 2)  # capacity 2048 rays
+    ps = scene.pack()
+    n = 8192
+    o, d, t0, ign = _rays(scene, n, seed=9, incoherent=True, dead_frac=0.8)
+    ref = tw._traverse(ps, o, d, t0, ign, occlusion=False)
+    out = pp.traverse_dispatch(ps.wide_rows, ps.scene_lo, ps.scene_hi,
+                               o, d, t0, ign, occlusion=False,
+                               interpret=True)
+    np.testing.assert_allclose(np.asarray(out[0]), np.asarray(ref[0]),
+                               rtol=1e-5, atol=1e-5)
+    np.testing.assert_array_equal(np.asarray(out[1]), np.asarray(ref[1]))
+    np.testing.assert_array_equal(np.asarray(out[2]), np.asarray(ref[2]))
+
+
+def test_dispatch_natural_branch_parity(scene):
+    """Dense wavefronts take the natural-order branch."""
+    ps = scene.pack()
+    n = 4096
+    o, d, t0, ign = _rays(scene, n, seed=11, incoherent=False)
+    ref = tw._traverse(ps, o, d, t0, ign, occlusion=False)
+    out = pp.traverse_dispatch(ps.wide_rows, ps.scene_lo, ps.scene_hi,
+                               o, d, t0, ign, occlusion=False,
+                               interpret=True)
+    np.testing.assert_allclose(np.asarray(out[0]), np.asarray(ref[0]),
+                               rtol=1e-5, atol=1e-5)
+    np.testing.assert_array_equal(np.asarray(out[1]), np.asarray(ref[1]))
