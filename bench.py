@@ -56,15 +56,21 @@ def main():
     h = int(os.environ.get("BENCH_H", 1080))
     frames = int(os.environ.get("BENCH_FRAMES", 4))
     spp = int(os.environ.get("BENCH_SPP", 1))
+    bounces = int(os.environ.get("BENCH_BOUNCES", 0))  # attribution knobs
+    nee = os.environ.get("BENCH_NEE", "1") == "1"
 
     from buas_pathtracer_tpu.models.scene import SceneSettings
     from buas_pathtracer_tpu.runtime import film
     from buas_pathtracer_tpu.runtime.render import render_frame
 
     sc = build_bench_scene(w, h)
+    from dataclasses import replace
     if spp != 1:
-        from dataclasses import replace
         sc.settings = replace(sc.settings, samples_per_pixel=spp)
+    if bounces:
+        sc.settings = replace(sc.settings, max_bounce_count=bounces)
+    if not nee:
+        sc.settings = replace(sc.settings, next_event_estimation=False)
 
     ps = sc.pack()
     accum = film.new_accumulation_buffer(h, w)

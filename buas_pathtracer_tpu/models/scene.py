@@ -113,6 +113,9 @@ class PackedScene(NamedTuple):
     prim_inv: jnp.ndarray  # (K,12) inverse
     prim_r: jnp.ndarray  # (K,) sphere radius
     prim_box_r: Vec3  # box half extents
+    # inverse transform (12) + box half extents (3) + type (1) packed as
+    # (K,16) rows for the deferred-normal pass (one gather, not 5)
+    prim_nrm16: jnp.ndarray  # (K,16) f32
 
     # lights (L>=1, masked by n_lights)
     light_prim: jnp.ndarray  # (L,) int32 index into primitives
@@ -146,6 +149,10 @@ class PackedScene(NamedTuple):
     wtri_nb: Vec3
     wtri_nc: Vec3
     wtri_has_n: jnp.ndarray  # (Tw,) bool
+    # all four tri normals + has_n packed as (Tw, 16) rows: the deferred-
+    # normal pass gathers ONE row per hit instead of 13 scalar arrays
+    # (TPU random access is per-index latency-bound, docs/PERFORMANCE.md)
+    wtri_nrm16: jnp.ndarray  # (Tw, 16) f32
 
     # sky / lighting environment
     sky_bot: Vec3  # scalars
@@ -364,6 +371,12 @@ class Scene:
             prim_type=jnp.asarray(ptype), prim_mat=jnp.asarray(pmat),
             prim_fwd=jnp.asarray(pfwd), prim_inv=jnp.asarray(pinv),
             prim_r=jnp.asarray(pr), prim_box_r=V(pboxr),
+            prim_nrm16=jnp.asarray(np.concatenate(
+                [np.asarray(pinv, np.float32).reshape(len(ptype), 12),
+                 np.asarray(pboxr, np.float32).reshape(len(ptype), 3),
+                 np.asarray(ptype, np.float32)[:, None]],
+                axis=1).astype(np.float32)) if len(ptype) else
+            jnp.zeros((0, 16), jnp.float32),
             light_prim=jnp.asarray(np.array(lights, np.int32)),
             tri_a=V(tv[:, 0]), tri_b=V(tv[:, 1]), tri_c=V(tv[:, 2]),
             tri_na=V(tn[:, 0]), tri_nb=V(tn[:, 1]), tri_nc=V(tn[:, 2]),
@@ -380,6 +393,11 @@ class Scene:
             wtri_ng=V(wide.tri_ng), wtri_na=V(wide.tri_na),
             wtri_nb=V(wide.tri_nb), wtri_nc=V(wide.tri_nc),
             wtri_has_n=jnp.asarray(wide.tri_has_n),
+            wtri_nrm16=jnp.asarray(np.concatenate(
+                [wide.tri_na, wide.tri_nb, wide.tri_nc, wide.tri_ng,
+                 wide.tri_has_n.astype(np.float32)[:, None],
+                 np.zeros((len(wide.tri_has_n), 3), np.float32)],
+                axis=1).astype(np.float32)),
             sky_bot=S(self.bot_sky_color), sky_top=S(self.top_sky_color),
             ambient_light=S(self.ambient_light),
             env_pixels=jnp.asarray(env),

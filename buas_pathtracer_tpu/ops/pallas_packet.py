@@ -68,7 +68,12 @@ KEY_MISS = 0x7FFFFFFF  # python int: a module-level jnp scalar would be
 
 
 def _kernel(rows_ref, ox, oy, oz, dx, dy, dz, t0r, ignr,
-            to, po, tro, bvo, bwo, nvo, stack, *, occlusion: bool):
+            *out_refs, occlusion: bool, with_stats: bool):
+    if with_stats:
+        to, po, tro, bvo, bwo, nvo, stack = out_refs
+    else:
+        to, po, tro, bvo, bwo, stack = out_refs
+        nvo = None
     o = Vec3(ox[:], oy[:], oz[:])
     d = Vec3(dx[:], dy[:], dz[:])
     t_in = t0r[:]
@@ -234,17 +239,22 @@ def _kernel(rows_ref, ox, oy, oz, dx, dy, dz, t0r, ignr,
     tro[:] = tri
     bvo[:] = bv
     bwo[:] = bw
-    nvo[:] = jnp.full((BS, BL), nv, jnp.int32)
+    if nvo is not None:
+        nvo[:] = jnp.full((BS, BL), nv, jnp.int32)
 
 
-@functools.partial(jax.jit, static_argnames=("occlusion", "interpret"))
+@functools.partial(jax.jit, static_argnames=("occlusion", "interpret",
+                                             "with_stats"))
 def packet_traverse(rows, o: Vec3, d: Vec3, t0, ignored_prim,
-                    occlusion: bool = False, interpret: bool = False):
+                    occlusion: bool = False, interpret: bool = False,
+                    with_stats: bool = False):
     """Block-coherent traversal over the whole flat ray batch.
 
     Returns (t, prim, tri, bv, bw, node_visits, tri_tests) like
     traverse_wide._traverse.  tri_tests is approximated as 0 (the packet
-    walk tests whole rows; per-ray counts are not tracked)."""
+    walk tests whole rows) and node_visits is 0 unless ``with_stats``:
+    the stats output block costs 8 KB of double-buffered VMEM, which is
+    exactly what pushed a full 1080p frame over the 16 MB scoped limit."""
     n = int(t0.shape[0])
     nb = -(-n // BLOCK)
     npad = nb * BLOCK
@@ -260,34 +270,40 @@ def packet_traverse(rows, o: Vec3, d: Vec3, t0, ignored_prim,
 
     blk = lambda: pl.BlockSpec((None, BS, BL), lambda i: (i, 0, 0),
                                memory_space=pltpu.VMEM)
-    out_shapes = (
-        jax.ShapeDtypeStruct((nb, BS, BL), jnp.float32),
-        jax.ShapeDtypeStruct((nb, BS, BL), jnp.int32),
-        jax.ShapeDtypeStruct((nb, BS, BL), jnp.int32),
-        jax.ShapeDtypeStruct((nb, BS, BL), jnp.float32),
-        jax.ShapeDtypeStruct((nb, BS, BL), jnp.float32),
-        jax.ShapeDtypeStruct((nb, BS, BL), jnp.int32),
-    )
+    n_out = 6 if with_stats else 5
+    out_shapes = tuple(
+        jax.ShapeDtypeStruct((nb, BS, BL), dt)
+        for dt in ((jnp.float32, jnp.int32, jnp.int32, jnp.float32,
+                    jnp.float32, jnp.int32)[:n_out]))
     grid_spec = pltpu.PrefetchScalarGridSpec(
         num_scalar_prefetch=0,
         grid=(nb,),
         # rows: the WHOLE table resident in VMEM across all grid steps
         in_specs=[pl.BlockSpec(memory_space=pltpu.VMEM)]
         + [blk() for _ in range(8)],
-        out_specs=[blk() for _ in range(6)],
+        out_specs=[blk() for _ in range(n_out)],
         scratch_shapes=[pltpu.SMEM((STACK + 1,), jnp.int32)],
     )
-    kernel = functools.partial(_kernel, occlusion=occlusion)
+    kernel = functools.partial(_kernel, occlusion=occlusion,
+                               with_stats=with_stats)
     outs = pl.pallas_call(
         kernel,
         out_shape=out_shapes,
         grid_spec=grid_spec,
         interpret=interpret,
+        # the resident table + staging sits right at the default 16 MB
+        # scoped-vmem cap (observed 16.01/16.00 OOMs); give it headroom
+        compiler_params=pltpu.CompilerParams(
+            vmem_limit_bytes=24 * 1024 * 1024),
     )(rows, *args)
 
-    nv_blocks = outs[5].reshape(nb, -1)[:, 0]  # per-block active-visit sums
     t, prim, tri, bv, bw = (x.reshape(-1)[:n] for x in outs[:5])
-    return t, prim, tri, bv, bw, jnp.sum(nv_blocks), jnp.zeros((), jnp.int32)
+    if with_stats:
+        nv_blocks = outs[5].reshape(nb, -1)[:, 0]  # per-block visit sums
+        nv = jnp.sum(nv_blocks)
+    else:
+        nv = jnp.zeros((), jnp.int32)
+    return t, prim, tri, bv, bw, nv, jnp.zeros((), jnp.int32)
 
 
 # ---------------------------------------------------------------------------
@@ -314,24 +330,25 @@ def enabled_for(rows) -> bool:
 
 
 def _morton_key(o: Vec3, d: Vec3, lo, hi):
-    """Spatial+direction coherence key (6 bits/axis Morton of the origin,
-    direction octant minor) for packing bounce rays into coherent blocks.
-    lo/hi are traced (3,) scene-bound arrays."""
+    """Spatial+direction coherence key (8 bits/axis Morton of the origin,
+    direction octant minor — 27 bits total) for packing bounce rays into
+    coherent blocks.  lo/hi are traced (3,) scene-bound arrays."""
     ext = jnp.maximum(jnp.asarray(hi, jnp.float32)
                       - jnp.asarray(lo, jnp.float32), 1e-6)
 
-    def q6(c, l, e):
-        return jnp.clip((c - l) / e * 64.0, 0.0, 63.0).astype(jnp.int32)
+    def q8(c, l, e):
+        return jnp.clip((c - l) / e * 256.0, 0.0, 255.0).astype(jnp.int32)
 
-    def spread3(v):
-        v = (v | (v << 8)) & 0x0300F
-        v = (v | (v << 4)) & 0x030C3
-        v = (v | (v << 2)) & 0x09249
+    def spread3(v):  # 8 bits -> every 3rd bit
+        v = (v | (v << 16)) & 0x030000FF
+        v = (v | (v << 8)) & 0x0300F00F
+        v = (v | (v << 4)) & 0x030C30C3
+        v = (v | (v << 2)) & 0x09249249
         return v
 
-    m = (spread3(q6(o.x, lo[0], ext[0]))
-         | (spread3(q6(o.y, lo[1], ext[1])) << 1)
-         | (spread3(q6(o.z, lo[2], ext[2])) << 2))
+    m = (spread3(q8(o.x, lo[0], ext[0]))
+         | (spread3(q8(o.y, lo[1], ext[1])) << 1)
+         | (spread3(q8(o.z, lo[2], ext[2])) << 2))
     oct_ = ((d.x < 0).astype(jnp.int32) * 4 + (d.y < 0).astype(jnp.int32) * 2
             + (d.z < 0).astype(jnp.int32))
     return (m << 3) | oct_
@@ -339,16 +356,17 @@ def _morton_key(o: Vec3, d: Vec3, lo, hi):
 
 def traverse_dispatch(rows, scene_lo, scene_hi, o: Vec3, d: Vec3, t0,
                       ignored_prim, occlusion: bool, interpret: bool = False):
-    """packet_traverse with a runtime liveness policy.
+    """packet_traverse with a runtime coherence/liveness policy.
 
-    Live wavefronts (primary rays, early bounces) run in their NATURAL
-    order — the caller generates rays in pixel-tile order, so blocks are
-    coherent and no data moves at all.  Sparse wavefronts (late bounces,
-    shadow queries with few facing rays) compact the live rays to a
-    Morton-sorted prefix of COMPACT_BLOCKS blocks first: scattered
-    survivors would otherwise keep EVERY block walking (the block does
-    union-of-members work), and Morton order restores block coherence for
-    post-bounce directions."""
+    The caller generates rays in pixel-tile order, so COHERENT wavefronts
+    (primary rays, shadow rays toward a light) run in NATURAL order — no
+    data movement at all.  Incoherent wavefronts (post-bounce directions)
+    would make every block walk the union of scattered members (measured
+    953 ms vs 276 for a 60%-live bounce wave, tools/prof20), so they
+    compact live rays into a Morton-sorted prefix first — the full batch
+    when needed, a COMPACT_BLOCKS prefix when the live set fits (saves the
+    full-batch gather).  Coherence is measured per call with one cheap
+    reduce: mean resultant length of the live directions within blocks."""
     n = int(t0.shape[0])
     compact_n = COMPACT_BLOCKS * BLOCK
     if n <= compact_n:
@@ -357,6 +375,18 @@ def traverse_dispatch(rows, scene_lo, scene_hi, o: Vec3, d: Vec3, t0,
 
     live = t0 >= 0.0
     n_live = jnp.sum(live.astype(jnp.int32))
+
+    # block coherence: ||sum of live unit dirs|| / live-count per block
+    # (over the whole-block prefix; a partial tail block is ignored)
+    nfull = (n // BLOCK) * BLOCK
+    lf = live[:nfull].astype(jnp.float32).reshape(-1, BLOCK)
+    sx = jnp.sum((d.x[:nfull] * lf.reshape(-1)).reshape(-1, BLOCK), axis=1)
+    sy = jnp.sum((d.y[:nfull] * lf.reshape(-1)).reshape(-1, BLOCK), axis=1)
+    sz = jnp.sum((d.z[:nfull] * lf.reshape(-1)).reshape(-1, BLOCK), axis=1)
+    cnt = jnp.sum(lf, axis=1)
+    rlen = jnp.sqrt(sx * sx + sy * sy + sz * sz) / jnp.maximum(cnt, 1.0)
+    coh = jnp.sum(rlen * cnt) / jnp.maximum(jnp.sum(cnt), 1.0)
+
     args = (o.x, o.y, o.z, d.x, d.y, d.z, t0,
             ignored_prim.astype(jnp.float32))
 
@@ -366,14 +396,16 @@ def traverse_dispatch(rows, scene_lo, scene_hi, o: Vec3, d: Vec3, t0,
                                t0, _i32e(ign), occlusion=occlusion,
                                interpret=interpret)
 
-    def compacted(args):
+    def morton(args, m):
+        """Morton-compact the live rays to the first m blocks, walk, and
+        scatter the results back."""
         ox, oy, oz, dx, dy, dz, t0, ign = args
         live = t0 >= 0.0
         key = jnp.where(live,
                         _morton_key(Vec3(ox, oy, oz), Vec3(dx, dy, dz),
                                     scene_lo, scene_hi),
                         jnp.int32(0x7FFFFFFF))
-        ids = jnp.argsort(key, stable=True)[:compact_n]
+        ids = jnp.argsort(key, stable=True)[:m * BLOCK]
         # pack -> one row gather (per-index latency dominates; 8 scalar
         # gathers would cost ~4x, docs/PERFORMANCE.md)
         eye8 = jnp.eye(8, dtype=jnp.float32)
@@ -386,7 +418,7 @@ def traverse_dispatch(rows, scene_lo, scene_hi, o: Vec3, d: Vec3, t0,
         bT = jax.lax.dot_general(
             eye8, blk, (((1,), (1,)), ((), ())),
             precision=jax.lax.Precision.HIGHEST,
-            preferred_element_type=jnp.float32)  # (8, compact_n)
+            preferred_element_type=jnp.float32)  # (8, m*BLOCK)
         out = packet_traverse(rows, Vec3(bT[0], bT[1], bT[2]),
                               Vec3(bT[3], bT[4], bT[5]), bT[6],
                               _i32e(bT[7]), occlusion=occlusion,
@@ -406,7 +438,16 @@ def traverse_dispatch(rows, scene_lo, scene_hi, o: Vec3, d: Vec3, t0,
         bw = back(out[4], jnp.zeros((n,)))
         return t, prim, tri, bv, bw, out[5], out[6]
 
-    return jax.lax.cond(n_live <= compact_n, compacted, natural, args)
+    n_blocks = n // BLOCK + (1 if n % BLOCK else 0)
+
+    def incoherent(args):
+        return jax.lax.cond(
+            n_live <= compact_n,
+            lambda a: morton(a, COMPACT_BLOCKS),
+            lambda a: morton(a, n_blocks),
+            args)
+
+    return jax.lax.cond(coh > 0.9, natural, incoherent, args)
 
 
 def _i32e(x):

@@ -358,14 +358,25 @@ def _traverse(ps: PackedScene, o: Vec3, d: Vec3, t0, ignored_prim,
     rows = ps.wide_rows
     n = int(t0.shape[0])
 
-    # Packet kernel (ops/pallas_packet.py): the TPU default whenever the
-    # BVH table fits VMEM — block-coherent walk, no gathers, measured 64
-    # Mrays/s closest-hit at 1080p vs 10.4 for the XLA phased path below.
+    # Hybrid dispatch (measured, tools/prof19-22): the Pallas packet kernel
+    # (ops/pallas_packet.py) wins ~5x on COHERENT wavefronts (primary rays
+    # in pixel-tile order: 43 ms vs 200 ms at 1080p; shadow rays toward a
+    # light), because a block's union-of-members visit set stays near one
+    # ray's.  On INCOHERENT wavefronts (post-bounce diffuse fans) the union
+    # explodes and the per-ray lockstep XLA pipeline wins ~3x (220 ms vs
+    # 640 ms).  Route per call on the measured block coherence of the live
+    # directions — one cheap reduce.
     from . import pallas_packet as pp
     if pp.enabled_for(rows):
         return pp.traverse_dispatch(rows, ps.scene_lo, ps.scene_hi,
                                     o, d, t0, ignored_prim, occlusion)
 
+    return _traverse_xla(ps, rows, depth, o, d, t0, ignored_prim, occlusion)
+
+
+def _traverse_xla(ps: PackedScene, rows, depth, o: Vec3, d: Vec3, t0,
+                  ignored_prim, occlusion: bool):
+    n = int(t0.shape[0])
     if n <= CHUNK or not PHASE_CAPS:
         return _traverse_chunk(rows, depth, o, d, t0, ignored_prim, occlusion)
 
@@ -592,17 +603,17 @@ def intersect_scene(ps: PackedScene, ray_o: Vec3, ray_d: Vec3,
 
     # ---- deferred normal (":NormalCalculation", intersection.cpp:526-591) --
     primc = jnp.maximum(prim, 0)
-    ptypes = ps.prim_type[primc]
-    # gather the (nc, 12) inverse transforms, then MXU-transpose to (12, nc)
-    # so the 12 per-field reads are sublane slices (same layout trick as the
-    # traversal loop; a direct column extraction costs a full-array lane
-    # relayout per field)
+    # ONE row gather of (inverse transform | box extents | type), MXU-
+    # transposed so every per-field read is a sublane slice (a direct
+    # column extraction costs a full-array lane relayout per field, and
+    # separate gathers pay per-index latency 5x, docs/PERFORMANCE.md)
     mT = jax.lax.dot_general(
-        jnp.eye(12, dtype=jnp.float32), ps.prim_inv[primc],
+        jnp.eye(16, dtype=jnp.float32), ps.prim_nrm16[primc],
         (((1,), (1,)), ((), ())),
         precision=jax.lax.Precision.HIGHEST,
         preferred_element_type=jnp.float32)
     mi = [mT[i] for i in range(12)]
+    ptypes = _i32(mT[15])
 
     def _pt(p):
         return Vec3(mi[0] * p.x + mi[1] * p.y + mi[2] * p.z + mi[3],
@@ -624,7 +635,7 @@ def intersect_scene(ps: PackedScene, ray_o: Vec3, ray_d: Vec3,
     os_d = _vec(ray_d)
     os_hit_p = os_o + os_d * t
     n_sphere = os_hit_p
-    box_r = _gather_v3(ps.prim_box_r, primc)
+    box_r = Vec3(mT[12], mT[13], mT[14])
     rel = Vec3(os_hit_p.x / jnp.maximum(box_r.x, 1e-30),
                os_hit_p.y / jnp.maximum(box_r.y, 1e-30),
                os_hit_p.z / jnp.maximum(box_r.z, 1e-30))
@@ -639,15 +650,22 @@ def intersect_scene(ps: PackedScene, ray_o: Vec3, ray_d: Vec3,
     n_ana = vwhere(ptypes == PRIM_SPHERE, n_sphere, n_box)
     n_ana_world = noz(_nrm(n_ana))
 
-    # mesh: world-space data directly (pre-transformed at pack)
+    # mesh: world-space data directly (pre-transformed at pack).  All four
+    # normals + has_n come from ONE (nc,16) row gather + MXU transpose —
+    # 13 scalar gathers here measured ~200 ms/call at 2M rays.
     tric = jnp.maximum(tri, 0)
     bu = 1.0 - bv - bw
-    na = _gather_v3(ps.wtri_na, tric)
-    nb = _gather_v3(ps.wtri_nb, tric)
-    nc = _gather_v3(ps.wtri_nc, tric)
+    nT = jax.lax.dot_general(
+        jnp.eye(16, dtype=jnp.float32), ps.wtri_nrm16[tric],
+        (((1,), (1,)), ((), ())),
+        precision=jax.lax.Precision.HIGHEST,
+        preferred_element_type=jnp.float32)  # (16, nc)
+    na = Vec3(nT[0], nT[1], nT[2])
+    nb = Vec3(nT[3], nT[4], nT[5])
+    nc = Vec3(nT[6], nT[7], nT[8])
     n_smooth = noz(na * bu + nb * bv + nc * bw)
-    n_geom = _gather_v3(ps.wtri_ng, tric)
-    n_mesh = vwhere(ps.wtri_has_n[tric] & (tri >= 0), n_smooth, n_geom)
+    n_geom = Vec3(nT[9], nT[10], nT[11])
+    n_mesh = vwhere((nT[12] > 0.5) & (tri >= 0), n_smooth, n_geom)
 
     is_mesh = tri >= 0
     n_world = vwhere(is_mesh, n_mesh, n_ana_world)

@@ -53,21 +53,36 @@ def find_integrator(name: str) -> Callable:
 # a pure reshape+transpose (bandwidth-speed layout copy, NOT a gather), and
 # the frame output is bit-identical: every per-ray computation keys off the
 # pixel coordinates carried with the ray, never the batch position.
-TILE_H = TILE_W = 32
+# Candidate tile shapes, squarest first; a packet block is 1024 consecutive
+# rays, so a (th, tw) with th*tw == 1024 that divides the image makes every
+# block exactly one screen tile.  1080p lands on (8, 128): 1080 is not
+# divisible by 32 or 16.
+_TILE_SHAPES = ((32, 32), (16, 64), (8, 128), (4, 256))
+
+
+def _tile_shape(h, w):
+    for th, tw in _TILE_SHAPES:
+        if h % th == 0 and w % tw == 0:
+            return th, tw
+    return None
 
 
 def _tiled(x2d):
     h, w = x2d.shape
-    if h % TILE_H or w % TILE_W:
+    shape = _tile_shape(h, w)
+    if shape is None:
         return x2d.reshape(-1)  # odd sizes: scanline order
-    return (x2d.reshape(h // TILE_H, TILE_H, w // TILE_W, TILE_W)
+    th, tw = shape
+    return (x2d.reshape(h // th, th, w // tw, tw)
             .transpose(0, 2, 1, 3).reshape(-1))
 
 
 def _untiled(flat, h, w):
-    if h % TILE_H or w % TILE_W:
+    shape = _tile_shape(h, w)
+    if shape is None:
         return flat.reshape(h, w)
-    return (flat.reshape(h // TILE_H, w // TILE_W, TILE_H, TILE_W)
+    th, tw = shape
+    return (flat.reshape(h // th, w // tw, th, tw)
             .transpose(0, 2, 1, 3).reshape(h, w))
 
 

@@ -23,15 +23,18 @@ from buas_pathtracer_tpu.ops.shading import (
 sc = B.build_bench_scene(W, H)
 ps = sc.pack()
 N = W * H
-CAPTURE = (2, 5)
+CAPTURE = (1, 2, 4)
 settings = replace(sc.settings, max_bounce_count=8)
+
+
+from buas_pathtracer_tpu.runtime.render import _tiled
 
 
 @jax.jit
 def first_rays():
     py_, px_ = jnp.meshgrid(jnp.arange(H, dtype=jnp.int32),
                             jnp.arange(W, dtype=jnp.int32), indexing="ij")
-    px, py = px_.reshape(-1), py_.reshape(-1)
+    px, py = _tiled(px_), _tiled(py_)
     strategy = int(settings.sampling_strategy)
     s = smp.make_sampler(px, py, jnp.uint32(0), strategy=strategy)
     s, aa_u, aa_v = smp.sample_2d(s, strategy, smp.SampleDimension.AA, 0)

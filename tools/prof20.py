@@ -90,14 +90,14 @@ def tmin(fn, mk, reps=2):
 
 
 for tag, fn, mk in (
-        ("b2 10%live natural", natural,
+        ("b1 53% natural", natural,
+         lambda r: wave("/tmp/wave_b1.npz", r)),
+        ("b1 53% morton-full", compacted_full,
+         lambda r: wave("/tmp/wave_b1.npz", r)),
+        ("b2 10% natural", natural,
          lambda r: wave("/tmp/wave_b2.npz", r)),
-        ("b2 10%live morton-full", compacted_full,
-         lambda r: wave("/tmp/wave_b2.npz", r)),
-        ("b2 60%live natural", natural,
-         lambda r: wave("/tmp/wave_b2.npz", r, live_override=0.6)),
-        ("b2 60%live morton-full", compacted_full,
-         lambda r: wave("/tmp/wave_b2.npz", r, live_override=0.6))):
+        ("b2 10% morton-full", compacted_full,
+         lambda r: wave("/tmp/wave_b2.npz", r))):
     dt, o = tmin(fn, mk)
     nv = float(np.asarray(o[1]))
     print(f"{tag:24s}: {dt*1e3:7.1f} ms   block-visits/ray={nv/N:.2f}",
