@@ -112,6 +112,8 @@ def main():
         "value": round(mrays, 3),
         "unit": "Mrays/s",
         "vs_baseline": round(mrays / 100.0, 4),
+        "frame_ms": round(elapsed / frames * 1e3, 1),
+        "rays_per_frame_M": round(rays_per_frame / 1e6, 2),
     }))
 
 

@@ -53,6 +53,18 @@ def _gv(v: Vec3, i) -> Vec3:
     return Vec3(v.x[i], v.y[i], v.z[i])
 
 
+def _mat_rows(ps: PackedScene, ids):
+    """ONE (N,16) row gather of the packed material table, MXU-transposed
+    so every field read is a sublane slice.  Replaces ~12 scalar gathers
+    per lookup — TPU random access is per-index latency-bound
+    (docs/PERFORMANCE.md)."""
+    return jax.lax.dot_general(
+        jnp.eye(16, dtype=jnp.float32), ps.mat16[ids],
+        (((1,), (1,)), ((), ())),
+        precision=jax.lax.Precision.HIGHEST,
+        preferred_element_type=jnp.float32)  # (16, N)
+
+
 def advanced(ps: PackedScene, settings: SceneSettings, sampler: smp.Sampler,
              ray_o: Vec3, ray_d: Vec3, n_lights: int = 0):
     """Returns (color: Vec3, sampler)."""
@@ -131,16 +143,19 @@ def advanced(ps: PackedScene, settings: SceneSettings, sampler: smp.Sampler,
             lane == jnp.maximum(stack_at - 1, 0)[None, :], stack, 0), axis=0)
         mat_i = jnp.where(inside, surf_mat, top)
         mat_t = jnp.where(inside, below, surf_mat)
+        miT = _mat_rows(ps, mat_i)
+        mtT = _mat_rows(ps, mat_t)
+        t_code = mtT[15].astype(jnp.int32)  # flags | is_medium<<3
 
         # ---- Beer's law through the incident medium (:640-649) ----
-        absorb = _gv(ps.mat_absorb, mat_i)
+        absorb = Vec3(miT[6], miT[7], miT[8])
         beer = vexp(absorb * (-hit.t))
-        i_is_medium = ps.mat_is_medium[mat_i]
+        i_is_medium = miT[15].astype(jnp.int32) >= 8
         throughput = vwhere(found & i_is_medium, throughput * beer, throughput)
 
         # ---- emissive hit: direct or MIS-weighted, then terminate (:651-670)
-        t_emissive = (ps.mat_flags[mat_t] & 0x4) != 0
-        emit = _gv(ps.mat_emission, mat_t)
+        t_emissive = (t_code & 0x4) != 0
+        emit = Vec3(mtT[3], mtT[4], mtT[5])
         if not nee:
             allow_direct = jnp.ones(n, bool)
         elif caustics:
@@ -183,11 +198,11 @@ def advanced(ps: PackedScene, settings: SceneSettings, sampler: smp.Sampler,
             total = vwhere(mis_case, total + throughput * emit * w_brdf, total)
 
         # ---- fresnel split (:672-684) ----
-        eta_i = ps.mat_ior[mat_i]
-        eta_t = jnp.maximum(ps.mat_ior[mat_t], 1e-6)
+        eta_i = miT[12]
+        eta_t = jnp.maximum(mtT[12], 1e-6)
         eta_ratio = eta_i / eta_t
         reflectance, cos_theta_t = fresnel_dielectric(cos_theta_i, eta_i, eta_t, eta_ratio)
-        metallic = ps.mat_metallic[mat_t]
+        metallic = mtT[13]
         reflectance = lerp(reflectance, 1.0, metallic)
 
         s, reflect_test = smp.sample_1d(s, strategy, smp.SampleDimension.REFLECTANCE, bounce)
@@ -200,15 +215,15 @@ def advanced(ps: PackedScene, settings: SceneSettings, sampler: smp.Sampler,
         state, u3 = rng.next_unilateral(state)
         s = s._replace(state=state)
         fuzz = sample_on_unit_sphere(u1, u2) * jnp.cbrt(u3)
-        roughness = ps.mat_roughness[mat_t]
+        roughness = mtT[14]
         rough_d = normalize(refl_d * (1.0 + EPSILON) + fuzz * roughness)
         refl_d = vwhere(roughness > 0.0, rough_d, refl_d)
         refl_o = hit.p + refl_d * EPSILON
-        albedo_t = _gv(ps.mat_albedo, mat_t)
+        albedo_t = Vec3(mtT[0], mtT[1], mtT[2])
         refl_tint = lerp(v3(1.0), albedo_t, metallic)
 
         # ---- refract branch (nested dielectrics, :702-723) ----
-        t_is_medium = ps.mat_is_medium[mat_t]
+        t_is_medium = t_code >= 8
         do_refract = ~do_reflect & t_is_medium
         refr_d = refract(d, N, cos_theta_i, cos_theta_t, eta_ratio)
         refr_o = hit.p + refr_d * EPSILON
@@ -222,7 +237,9 @@ def advanced(ps: PackedScene, settings: SceneSettings, sampler: smp.Sampler,
 
         # ---- diffuse branch (:725-795) ----
         do_diffuse = ~do_reflect & ~t_is_medium
-        albedo = evaluate_material(ps, mat_t, hit.p)
+        from ..ops.shading import evaluate_checker
+        albedo = evaluate_checker(albedo_t, Vec3(mtT[9], mtT[10], mtT[11]),
+                                  (t_code & 0x2) != 0, hit.p)
         brdf = albedo * (1.0 / PI)
 
         nee_add = zeros(n)

@@ -100,6 +100,11 @@ class PackedScene(NamedTuple):
     mat_roughness: jnp.ndarray
     mat_is_medium: jnp.ndarray  # (M,) bool
     mat_absorb: Vec3
+    # all per-material fields packed as (M,16) rows so a bounce does TWO
+    # row gathers (mat_i, mat_t) instead of ~25 scalar gathers:
+    # [albedo3 | emission3 | absorb3 | checker3 | ior, metallic, roughness,
+    #  code] with code = flags + 8*is_medium (exact small ints)
+    mat16: jnp.ndarray  # (M,16) f32
 
     # planes (P>=1, padded with an unhittable plane)
     plane_n: Vec3
@@ -367,6 +372,17 @@ class Scene:
             mat_ior=jnp.asarray(mior), mat_metallic=jnp.asarray(mmet),
             mat_roughness=jnp.asarray(mrgh), mat_is_medium=jnp.asarray(mmed),
             mat_absorb=V(mabs),
+            mat16=jnp.asarray(np.concatenate(
+                [np.asarray(malb, np.float32),
+                 np.asarray(memi, np.float32),
+                 np.asarray(mabs, np.float32),
+                 np.asarray(mchk, np.float32),
+                 np.asarray(mior, np.float32)[:, None],
+                 np.asarray(mmet, np.float32)[:, None],
+                 np.asarray(mrgh, np.float32)[:, None],
+                 (np.asarray(mflags, np.float32)
+                  + 8.0 * np.asarray(mmed, np.float32))[:, None]],
+                axis=1).astype(np.float32)),
             plane_n=V(pn), plane_d=jnp.asarray(pd), plane_mat=jnp.asarray(pm),
             prim_type=jnp.asarray(ptype), prim_mat=jnp.asarray(pmat),
             prim_fwd=jnp.asarray(pfwd), prim_inv=jnp.asarray(pinv),

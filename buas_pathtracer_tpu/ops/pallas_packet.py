@@ -354,6 +354,16 @@ def _morton_key(o: Vec3, d: Vec3, lo, hi):
     return (m << 3) | oct_
 
 
+def _compact_key(o: Vec3, d: Vec3, ign, lo, hi):
+    """Sort key for Morton compaction.  The ignored-prim id rides as the
+    MAJOR bits: for NEE shadow queries it is the sampled light, so blocks
+    separate perfectly into per-light clusters (a mixed block pays the
+    union of both lights' occluder sets); for closest-hit calls it is
+    constant (-1) and changes nothing."""
+    return ((jnp.bitwise_and(ign.astype(jnp.int32) + 1, 0xF) << 27)
+            | _morton_key(o, d, lo, hi))
+
+
 def traverse_dispatch(rows, scene_lo, scene_hi, o: Vec3, d: Vec3, t0,
                       ignored_prim, occlusion: bool, interpret: bool = False):
     """packet_traverse with a runtime coherence/liveness policy.
@@ -402,8 +412,8 @@ def traverse_dispatch(rows, scene_lo, scene_hi, o: Vec3, d: Vec3, t0,
         ox, oy, oz, dx, dy, dz, t0, ign = args
         live = t0 >= 0.0
         key = jnp.where(live,
-                        _morton_key(Vec3(ox, oy, oz), Vec3(dx, dy, dz),
-                                    scene_lo, scene_hi),
+                        _compact_key(Vec3(ox, oy, oz), Vec3(dx, dy, dz),
+                                     ign, scene_lo, scene_hi),
                         jnp.int32(0x7FFFFFFF))
         ids = jnp.argsort(key, stable=True)[:m * BLOCK]
         # pack -> one row gather (per-index latency dominates; 8 scalar

@@ -53,7 +53,8 @@ def hero_scene(w, h):
         sc.env_map = load_environment_map(env_path)
 
     cam = cm.make_camera(p=(0.5, 4.2, -12.5), vfov=np.radians(42),
-                         aspect=w / h, aperture=0.25, focus_distance=12.5)
+                         aspect=w / h, lens_radius=0.12,
+                         focus_distance=12.5)
     sc.camera = cm.aim_camera_at(cam, (0, 1.9, 0))
     sc.settings = SceneSettings(max_bounce_count=8, samples_per_pixel=4)
     return sc
