@@ -77,7 +77,8 @@ def advanced(ps: PackedScene, settings: SceneSettings, sampler: smp.Sampler,
     # direct-light strategy whenever an env map is present.  Without it a
     # small bright sun disk is only ever hit by chance -> fireflies.
     from .common import has_env as _has_env
-    env_nee = bool(settings.next_event_estimation) and _has_env(ps)
+    env_nee = (bool(settings.next_event_estimation) and _has_env(ps)
+               and bool(getattr(settings, "env_nee", True)))
     use_mis = bool(settings.use_mis)
     is_lights = bool(settings.importance_sample_lights)
     is_diffuse = bool(settings.importance_sample_diffuse)

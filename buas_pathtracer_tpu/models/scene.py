@@ -71,6 +71,11 @@ class SceneSettings:
     # tests/test_integrators.py::test_reference_mis_form_is_biased renders
     # both against brute force and demonstrates the bias quantitatively.
     reference_mis: bool = False
+    # env-map NEE (the reference's stubbed feature, implemented here) adds
+    # a third traversal call per bounce; this toggle exists for memory/
+    # program-size-constrained runs (the axon tunnel caps per-process
+    # executables) — BRDF sampling still sees the env map when off
+    env_nee: bool = True
 
 
 @dataclass(frozen=True)
