@@ -92,11 +92,26 @@ def main():
               f"total {now - t0:.0f}s)", flush=True)
         last[0] = now
 
-    elapsed = r.take_picture(target, args.out, progress=progress,
-                             checkpoint_every=args.ckpt_every,
-                             checkpoint_path=ckpt)
-    print(f"done: {r.frame_count} spp in {elapsed:.0f}s -> {args.out}",
-          flush=True)
+    # self-managed loop (instead of take_picture) so the PNG is refreshed
+    # at EVERY checkpoint: whatever spp the run reaches, the gallery file
+    # is current and a later run resumes from the checkpoint
+    from buas_pathtracer_tpu.runtime import checkpoint as ckpt_mod
+    from buas_pathtracer_tpu.utils.image import write_png
+    if os.path.exists(ckpt):
+        ckpt_mod.resume_into(r, ckpt)
+        print(f"resumed at {r.frame_count} spp", flush=True)
+    last_ckpt = r.frame_count
+    while r.frame_count < target:
+        r.render_one_frame()
+        progress(r.frame_count, target)
+        if r.frame_count - last_ckpt >= args.ckpt_every:
+            ckpt_mod.checkpoint_renderer(r, ckpt)
+            write_png(args.out, r.display_rgba8())
+            print(f"  checkpoint + png at {r.frame_count} spp", flush=True)
+            last_ckpt = r.frame_count
+    write_png(args.out, r.display_rgba8())
+    print(f"done: {r.frame_count} spp in {time.time()-t0:.0f}s -> "
+          f"{args.out}", flush=True)
     if r.frame_count >= args.spp and os.path.exists(ckpt):
         os.remove(ckpt)
 
