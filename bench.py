@@ -51,11 +51,69 @@ def build_bench_scene(w, h):
     return sc
 
 
+def closest_hit_main():
+    """BENCH_MODE=closest_hit: primary-ray closest-hit throughput through
+    the production traversal path (the hardware-facing headline number,
+    round-2 verdict item 7).  Runs in its own process so its executables
+    don't count against the frame bench's tunnel budget (CLAUDE.md 4b)."""
+    w = int(os.environ.get("BENCH_W", 1920))
+    h = int(os.environ.get("BENCH_H", 1080))
+    import jax
+    from buas_pathtracer_tpu.core.vec import Vec3
+    from buas_pathtracer_tpu.models import camera as cm
+    from buas_pathtracer_tpu.ops import traverse_wide as tw
+    from buas_pathtracer_tpu.runtime.render import _tiled
+
+    sc = build_bench_scene(w, h)
+    ps = sc.pack()
+    n = w * h
+    py_, px_ = jnp.meshgrid(jnp.arange(h, dtype=jnp.int32),
+                            jnp.arange(w, dtype=jnp.int32), indexing="ij")
+    px = _tiled(px_).astype(jnp.float32)
+    py = _tiled(py_).astype(jnp.float32)
+
+    @jax.jit
+    def hit_sum(r):
+        z = jnp.zeros((n,)) + r * 1e-7  # varying arg: defeat result caching
+        pr = cm.generate_rays(sc.camera, px, py, w, h, z + 0.5, z + 0.5,
+                              z, z, 0.0, 1.0, 6, 0.0, 0.0)
+        out = tw._traverse(ps, pr.o, pr.d, jnp.full((n,), tw.BIG_T),
+                           jnp.full((n,), -1, jnp.int32), occlusion=False)
+        return out[0].sum() + out[1].sum()
+
+    _ = np.asarray(hit_sum(jnp.float32(0.0)))  # compile + warm
+    seed = int(time.time() * 1000) % 1000
+    ts = []
+    for r in range(3):
+        t0 = time.perf_counter()
+        _ = np.asarray(hit_sum(jnp.float32(seed + r + 1)))
+        ts.append(time.perf_counter() - t0)
+    el = min(ts) - 0.028  # per-dispatch tunnel overhead (CLAUDE.md 4b)
+    print(json.dumps({"closest_hit_mrays": round(n / el / 1e6, 1)}))
+
+
 def main():
     w = int(os.environ.get("BENCH_W", 1920))
     h = int(os.environ.get("BENCH_H", 1080))
     frames = int(os.environ.get("BENCH_FRAMES", 4))
     spp = int(os.environ.get("BENCH_SPP", 1))
+
+    # primary-ray closest-hit throughput, measured FIRST in a subprocess
+    # (before this process touches the TPU; clean exit, no tunnel overlap)
+    ch_mrays = None
+    if os.environ.get("BENCH_CLOSEST_HIT", "1") == "1":
+        import subprocess
+        try:
+            r = subprocess.run(
+                [sys.executable, os.path.abspath(__file__)],
+                env={**os.environ, "BENCH_MODE": "closest_hit"},
+                capture_output=True, text=True, timeout=1500)
+            for line in r.stdout.splitlines():
+                line = line.strip()
+                if line.startswith("{"):
+                    ch_mrays = json.loads(line).get("closest_hit_mrays")
+        except (subprocess.SubprocessError, ValueError, OSError):
+            ch_mrays = None
     bounces = int(os.environ.get("BENCH_BOUNCES", 0))  # attribution knobs
     nee = os.environ.get("BENCH_NEE", "1") == "1"
 
@@ -114,8 +172,12 @@ def main():
         "vs_baseline": round(mrays / 100.0, 4),
         "frame_ms": round(elapsed / frames * 1e3, 1),
         "rays_per_frame_M": round(rays_per_frame / 1e6, 2),
+        "closest_hit_mrays": ch_mrays,
     }))
 
 
 if __name__ == "__main__":
-    main()
+    if os.environ.get("BENCH_MODE") == "closest_hit":
+        closest_hit_main()
+    else:
+        main()

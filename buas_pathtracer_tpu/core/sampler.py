@@ -91,6 +91,17 @@ def _make_permutation_sets() -> np.ndarray:
 
 _PERM_SETS = _make_permutation_sets()  # (256, 64) uint8
 
+# Merged per-dimension permutation tables for the ONE-gather-per-pass
+# stratified fast path (see make_sampler): the row a pixel reads for
+# dimension d is (73856093*d ^ pixel_hash) & 255 == K_d ^ (pixel_hash & 255)
+# because XOR is bitwise — so one (256, 64, D) table indexed by the PLAIN
+# hash byte serves every dimension at once.
+_N_DIMS = len(SampleDimension)
+_DIM_ROW_KEYS = [(73856093 * d) & 255 for d in range(_N_DIMS)]
+_MERGED_PERMS = np.stack(
+    [_PERM_SETS[np.arange(256) ^ k] for k in _DIM_ROW_KEYS],
+    axis=-1).astype(np.float32)  # (256, 64, D)
+
 
 # ---------------------------------------------------------------------------
 # Hash-based Owen-scrambled Sobol (Burley 2020) — public recipe
@@ -184,20 +195,63 @@ N_BN_CHANNELS = 2 * len(SampleDimension)  # (u, v) per sample dimension
 _bn_masks_cache: np.ndarray | None = None
 
 
+def _bn_cache_paths():
+    """Disk cache next to the package (like native/'s .so fingerprint):
+    the ~8 s of per-process void-and-cluster generation happens once per
+    machine, not once per process (round-2 verdict item 9)."""
+    import os
+    d = os.path.dirname(os.path.abspath(__file__))
+    base = os.path.join(d, f"_bn_masks_{BN_TILE}x{N_BN_CHANNELS}.npy")
+    return base, base + ".fp"
+
+
+def _bn_fingerprint() -> str:
+    """Content fingerprint: the generator source + parameters.  A cached
+    file built from a different construction is never loaded."""
+    import hashlib
+    from ..utils import bluenoise
+    h = hashlib.sha256()
+    with open(bluenoise.__file__, "rb") as f:
+        h.update(f.read())
+    h.update(f"{BN_TILE}|{N_BN_CHANNELS}|0xB1E|7919".encode())
+    return h.hexdigest()
+
+
 def _bn_masks() -> np.ndarray:
     """(BN_TILE, BN_TILE, N_BN_CHANNELS) float32 shifts in [0,1): one
     void-and-cluster blue-noise threshold matrix per (dimension, axis), own
-    seeds/data (utils/bluenoise.py).  Generated once per process (~0.5 s per
-    channel) and cached."""
+    seeds/data (utils/bluenoise.py).  Generated once per MACHINE (disk
+    cache) and once per process (memory cache)."""
     global _bn_masks_cache
-    if _bn_masks_cache is None:
-        from ..utils.bluenoise import void_and_cluster
-        chans = [
-            void_and_cluster(BN_TILE, seed=0xB1E + 7919 * k).astype(np.float32)
-            / (BN_TILE * BN_TILE)
-            for k in range(N_BN_CHANNELS)
-        ]
-        _bn_masks_cache = np.stack(chans, axis=-1)
+    if _bn_masks_cache is not None:
+        return _bn_masks_cache
+    import os
+    path, fp_path = _bn_cache_paths()
+    fp = _bn_fingerprint()
+    if os.path.exists(path) and os.path.exists(fp_path):
+        try:
+            with open(fp_path) as f:
+                if f.read().strip() == fp:
+                    m = np.load(path)
+                    if m.shape == (BN_TILE, BN_TILE, N_BN_CHANNELS):
+                        _bn_masks_cache = np.ascontiguousarray(
+                            m.astype(np.float32))
+                        return _bn_masks_cache
+        except (OSError, ValueError):
+            pass
+    from ..utils.bluenoise import void_and_cluster
+    chans = [
+        void_and_cluster(BN_TILE, seed=0xB1E + 7919 * k).astype(np.float32)
+        / (BN_TILE * BN_TILE)
+        for k in range(N_BN_CHANNELS)
+    ]
+    _bn_masks_cache = np.stack(chans, axis=-1)
+    try:
+        np.save(path, _bn_masks_cache)
+        with open(fp_path, "w") as f:
+            f.write(fp)
+    except OSError:
+        pass  # read-only install: regenerate per process
     return _bn_masks_cache
 
 
@@ -211,10 +265,22 @@ class Sampler(NamedTuple):
 
     ``x``/``y`` pixel coords, ``sample_index`` the canonical accumulated
     sample index (frame_count + s, raytracer.cpp:429-439), a carried
-    xorshift ``state`` for the white-noise draws, and ``bn`` the per-pixel
-    blue-noise shifts, (N_BN_CHANNELS, N) when the strategy is BLUE_NOISE
-    (gathered ONCE at construction, outside any bounce loop) and (0, N)
-    otherwise.
+    xorshift ``state`` for the white-noise draws, ``bn`` the per-pixel
+    blue-noise shifts ((N_BN_CHANNELS, N) when the strategy is BLUE_NOISE,
+    (0, N) otherwise), and ``pre`` the PRECOMPUTED first-bounce
+    low-discrepancy bases, (2*D, N) rows [strata_x_d, strata_y_d] (or the
+    full rotated Sobol' value for BLUE_NOISE), or (0, N).
+
+    ``pre`` is the round-3 perf fix: sample_1d/2d select the low-discrepancy
+    value only at bounce 0 but used to EVALUATE its table lookups at every
+    bounce — measured 124 ms/bounce at 2M rays, ~1 s of the 2 s frame
+    (tools/prof24).  Bases depend only on (pixel, sample_index, dim), so
+    make_sampler computes all dimensions once per pass with ONE row gather;
+    the loop-carried rows are unmodified, so XLA aliases them move-free.
+    Bit-identical to the per-bounce evaluation (exact dyadic arithmetic).
+
+    NOTE: ``pre`` is keyed to ``sample_index`` — do not ``_replace`` the
+    sample index on a strategy!=UNIFORM sampler; build a fresh one.
     """
 
     x: jnp.ndarray  # (N,) uint32
@@ -222,14 +288,17 @@ class Sampler(NamedTuple):
     sample_index: jnp.ndarray  # (N,) or scalar uint32
     state: jnp.ndarray  # (N,) uint32 xorshift chain
     bn: jnp.ndarray  # (N_BN_CHANNELS, N) float32 shifts, or (0, N)
+    pre: jnp.ndarray  # (2*_N_DIMS, N) first-bounce bases, or (0, N)
 
 
-def make_sampler(x, y, sample_index, frame_entropy=0,
-                 strategy: int = -1) -> Sampler:
-    """Pass ``strategy`` so the BLUE_NOISE shift table is gathered here —
-    once per frame pass, at standalone speed — instead of inside the
-    integrator's bounce loop (in-loop gathers are the measured perf wall,
-    CLAUDE.md pitfall 4)."""
+def make_sampler(x, y, sample_index, *, strategy: int,
+                 frame_entropy=0) -> Sampler:
+    """``strategy`` is REQUIRED (keyword-only): the BLUE_NOISE shift table
+    must be gathered here — once per frame pass, at standalone speed —
+    instead of inside the integrator's bounce loop (in-loop gathers are the
+    measured perf wall, CLAUDE.md pitfall 4).  A defaulted strategy let call
+    sites silently build blue-noise samplers without shift masks, degrading
+    sample_2d to the hash-Sobol fallback with no signal (round-2 advisor)."""
     x = jnp.asarray(x, U32)
     y = jnp.asarray(y, U32)
     sample_index = jnp.asarray(sample_index, U32)
@@ -243,7 +312,53 @@ def make_sampler(x, y, sample_index, frame_entropy=0,
         bn = masks[ty, tx, :].T  # (K, N): channel reads are sublane slices
     else:
         bn = jnp.zeros((0,) + x.shape, jnp.float32)
-    return Sampler(x, y, sample_index, rng.seed_state(seed), bn)
+    pre = _first_bounce_bases(x, y, sample_index, strategy, bn)
+    return Sampler(x, y, sample_index, rng.seed_state(seed), bn, pre)
+
+
+def _first_bounce_bases(x, y, sample_index, strategy: int, bn) -> jnp.ndarray:
+    """(2*D, N) first-bounce low-discrepancy bases for every dimension, or
+    (0, N) when not applicable (UNIFORM, or a per-ray sample_index where the
+    one-per-pass precompute doesn't hold).  See Sampler.pre.
+
+    STRATIFIED: rows 2d/2d+1 hold the stratum corner (qx/8, qy/8) for dim d.
+    All dimensions come from ONE (N, D) row gather of the merged permutation
+    table (the per-dim row indices are K_d ^ hash_byte, and the pass's
+    column is a scalar slice) — replacing 7-9 per-bounce scalar gathers.
+    BLUE_NOISE: rows hold the final Cranley-Patterson-rotated value; the
+    shared Owen-Sobol' base point is SCALAR math for a scalar sample_index.
+    """
+    n = x.shape
+    if (strategy not in (Strategy.STRATIFIED, Strategy.BLUE_NOISE)
+            or getattr(sample_index, "ndim", 0) != 0):
+        return jnp.zeros((0,) + n, jnp.float32)
+
+    if strategy == Strategy.BLUE_NOISE:
+        rows = []
+        for d in range(_N_DIMS):
+            bu, bv = _sobol_base_2d(sample_index, d)  # scalar u32 math
+            rows.append(jnp.mod(bu + bn[2 * d], 1.0))
+            rows.append(jnp.mod(bv + bn[2 * d + 1], 1.0))
+        return jnp.stack(rows)
+
+    # STRATIFIED
+    merged = jnp.asarray(_MERGED_PERMS.copy())  # (256, 64, D); fresh per
+    # trace -> embedded literal (jax-0.9.0, see _stratified_2d)
+    col = (sample_index % jnp.uint32(STRATA_COUNT)).astype(jnp.int32)
+    t_pass = jax.lax.dynamic_slice_in_dim(merged, col, 1, axis=1)[:, 0, :]
+    r = (rng.hash_coordinate_2d(x, y) & jnp.uint32(255)).astype(jnp.int32)
+    g = t_pass[r]  # (N, D): the ONE row gather of the pass
+    # MXU-materialized transpose -> (D, N) sublane-sliced field reads
+    gT = jax.lax.dot_general(
+        jnp.eye(_N_DIMS, dtype=jnp.float32), g, (((1,), (1,)), ((), ())),
+        precision=jax.lax.Precision.HIGHEST,
+        preferred_element_type=jnp.float32)
+    rows = []
+    for d in range(_N_DIMS):
+        si = gT[d]  # exact small-int float values in [0, 64)
+        rows.append(jnp.mod(si, float(STRATA_X)) * (1.0 / STRATA_X))
+        rows.append(jnp.floor(si * (1.0 / STRATA_X)) * (1.0 / STRATA_Y))
+    return jnp.stack(rows)
 
 
 def _stratified_2d(s: Sampler, dim: int, u_jit, v_jit):
@@ -282,7 +397,13 @@ def sample_2d(s: Sampler, strategy: int, dim: int, bounce) -> tuple:
     if strategy == Strategy.UNIFORM:
         return s, ju, jv
 
-    if strategy == Strategy.STRATIFIED:
+    if s.pre.shape[0]:  # precomputed bases: zero in-loop table work
+        if strategy == Strategy.STRATIFIED:
+            u0 = s.pre[2 * int(dim)] + ju * (1.0 / STRATA_X)
+            v0 = s.pre[2 * int(dim) + 1] + jv * (1.0 / STRATA_Y)
+        else:
+            u0, v0 = s.pre[2 * int(dim)], s.pre[2 * int(dim) + 1]
+    elif strategy == Strategy.STRATIFIED:
         u0, v0 = _stratified_2d(s, dim, ju, jv)
     else:  # BLUE_NOISE: shared Owen-Sobol + per-pixel blue-noise rotation
         u0, v0 = _blue_noise_2d(s, int(dim))
@@ -312,7 +433,15 @@ def sample_1d(s: Sampler, strategy: int, dim: int, bounce) -> tuple:
     if strategy == Strategy.UNIFORM:
         return s, ju
 
-    if strategy == Strategy.STRATIFIED:
+    if s.pre.shape[0]:
+        if strategy == Strategy.STRATIFIED:
+            # flat 64-stratum base si/64 == qx/64 + qy/8, reconstructed
+            # exactly from the stratum-corner rows (dyadic arithmetic)
+            u0 = (s.pre[2 * int(dim)] * (1.0 / STRATA_X)
+                  + s.pre[2 * int(dim) + 1]) + ju * (1.0 / STRATA_COUNT)
+        else:
+            u0 = s.pre[2 * int(dim)]
+    elif strategy == Strategy.STRATIFIED:
         u0 = _stratified_1d(s, dim, ju)
     else:
         u0, _ = _blue_noise_2d(s, int(dim))

@@ -32,8 +32,9 @@ from ..models.scene import PackedScene, SceneSettings
 from ..ops import traverse
 from ..ops.shading import (fresnel_dielectric, map_to_cosine_weighted_hemisphere,
                            map_to_hemisphere, refract, sample_on_unit_sphere)
-from .common import (evaluate_material, light_pick_pdf, pick_random_light,
-                     random_point_on_light, sample_sky)
+from .common import (evaluate_material, light_pick_pdf, light_radius_of_prim,
+                     light_rows, pick_random_light_slot,
+                     random_point_on_light_rows, sample_sky, slot_to_prim)
 
 STACK_DEPTH = 8  # reference uses 64 (integrators.cpp:602); 8 covers any sane
                  # nesting at 1/8 the state memory per ray
@@ -54,10 +55,23 @@ def _gv(v: Vec3, i) -> Vec3:
 
 
 def _mat_rows(ps: PackedScene, ids):
-    """ONE (N,16) row gather of the packed material table, MXU-transposed
-    so every field read is a sublane slice.  Replaces ~12 scalar gathers
-    per lookup — TPU random access is per-index latency-bound
-    (docs/PERFORMANCE.md)."""
+    """(16, N) material rows of the packed table.
+
+    For the (always small) material table a one-hot MXU contraction
+    (16,M)@(M,N) beats the row gather + transpose 9x at 2M rays
+    (tools/prof24: 1.3 ms vs 11.7 ms for two lookups): TPU per-index gather
+    latency disappears entirely; the one-hot build is M vector compares and
+    the contraction is exact (each output element is a single 1.0*x product
+    at HIGHEST precision)."""
+    M = int(ps.mat16.shape[0])
+    if M <= 64:
+        oh = (ids[None, :] == jnp.arange(M, dtype=jnp.int32)[:, None]
+              ).astype(jnp.float32)
+        return jax.lax.dot_general(
+            ps.mat16, oh, (((0,), (0,)), ((), ())),
+            precision=jax.lax.Precision.HIGHEST,
+            preferred_element_type=jnp.float32)  # (16, N)
+    # huge material sets: one row gather + MXU transpose (sublane reads)
     return jax.lax.dot_general(
         jnp.eye(16, dtype=jnp.float32), ps.mat16[ids],
         (((1,), (1,)), ((), ())),
@@ -187,8 +201,8 @@ def advanced(ps: PackedScene, settings: SceneSettings, sampler: smp.Sampler,
                 light_pdf_ref = hit.t * hit.t / jnp.maximum(cos_theta_i, 1e-12)
                 w_brdf = 1.0 / jnp.maximum(light_pdf_ref + brdf_pdf, 1e-30)
             else:
-                hitc = jnp.maximum(hit.hit_id, 0)
-                light_r = ps.prim_r[hitc]
+                # L where-selects, not a per-ray prim_r gather (prof24)
+                light_r = light_radius_of_prim(ps, hit.hit_id)
                 area = 2.0 * PI * light_r * light_r
                 # shading point of the previous bounce == this ray's origin
                 pick_pdf = light_pick_pdf(ps, o, hit.hit_id, is_lights)
@@ -243,21 +257,63 @@ def advanced(ps: PackedScene, settings: SceneSettings, sampler: smp.Sampler,
                                   (t_code & 0x2) != 0, hit.p)
         brdf = albedo * (1.0 / PI)
 
-        nee_add = zeros(n)
+        # ---- next-event estimation: ONE merged shadow wave per bounce ----
+        # Light-NEE and env-NEE occlusion queries are CONCATENATED into a
+        # single intersect_shadow_ray call: one traversal call site instead
+        # of two keeps the frame program under the axon tunnel's
+        # per-process executable budget (CLAUDE.md 4b — this is what forced
+        # env_nee off in the round-2 hero render) and halves the shadow
+        # wave's fixed dispatch cost.  Reference: intersect_shadow_ray
+        # intersection.cpp:600-604.
         if nee:
             s, lp_u = smp.sample_1d(s, strategy, smp.SampleDimension.LIGHT_SELECTION, bounce)
-            light_idx, light_rcp_pdf = pick_random_light(ps, lp_u, hit.p, is_lights)
+            slot, light_rcp_pdf = pick_random_light_slot(ps, lp_u, hit.p, is_lights)
             s, dl_u, dl_v = smp.sample_2d(s, strategy, smp.SampleDimension.DIRECT_LIGHTING, bounce)
-            ls = random_point_on_light(ps, light_idx, dl_u, dl_v, hit.p)
+            # the whole light read (transform, radius, emission) comes from
+            # ONE one-hot MXU contraction — zero per-ray gathers (prof24)
+            lT = light_rows(ps, slot)
+            ls = random_point_on_light_rows(lT, dl_u, dl_v, hit.p)
+            light_idx = slot_to_prim(ps, slot)
             n_dot_l = dot(N, ls.L)
             nl_dot_l = -dot(ls.Nl, ls.L)
             facing = (n_dot_l > 0.0) & (nl_dot_l > 0.0) & do_diffuse & found & ~t_emissive
             shadow_o = hit.p + ls.L * EPSILON
             # non-facing/dead lanes get max_t = -1 (instant exit), so they
             # contribute no iterations to their chunk's lockstep loop
+            max_t_l = jnp.where(facing, ls.dist - 2.0 * EPSILON, -1.0)
+        if env_nee:
+            from ..ops import envmap
+            s, e_u, e_v = smp.sample_2d(s, strategy,
+                                        smp.SampleDimension.ENV_LIGHTING, bounce)
+            d_e, pdf_e, rad_e = envmap.sample_env_direction(
+                ps.env_cdf_marginal, ps.env_cdf_conditional, ps.env_pixels,
+                e_u, e_v)
+            n_dot_e = dot(N, d_e)
+            facing_e = (n_dot_e > 0.0) & do_diffuse & found & ~t_emissive
+            shadow_o_e = hit.p + d_e * EPSILON
+            max_t_e = jnp.where(facing_e, traverse.BIG_T, -1.0)
+            ign_e = jnp.full(n, -1, jnp.int32)
+
+        if nee and env_nee:
+            cat = jnp.concatenate
+            occ2 = traverse.intersect_shadow_ray(
+                ps,
+                Vec3(cat([shadow_o.x, shadow_o_e.x]),
+                     cat([shadow_o.y, shadow_o_e.y]),
+                     cat([shadow_o.z, shadow_o_e.z])),
+                Vec3(cat([ls.L.x, d_e.x]), cat([ls.L.y, d_e.y]),
+                     cat([ls.L.z, d_e.z])),
+                cat([max_t_l, max_t_e]), cat([light_idx, ign_e]))
+            nray = n[0]
+            occluded, occ_e = occ2[:nray], occ2[nray:]
+        elif nee:
             occluded = traverse.intersect_shadow_ray(
-                ps, shadow_o, ls.L,
-                jnp.where(facing, ls.dist - 2.0 * EPSILON, -1.0), light_idx)
+                ps, shadow_o, ls.L, max_t_l, light_idx)
+        elif env_nee:
+            occ_e = traverse.intersect_shadow_ray(
+                ps, shadow_o_e, d_e, max_t_e, ign_e)
+
+        if nee:
             visible = facing & ~occluded
             solid_angle = (nl_dot_l * ls.A) / jnp.maximum(ls.dist_sq, 1e-12)
             # light_rcp_pdf is the PICK probability (reference convention,
@@ -279,27 +335,13 @@ def advanced(ps: PackedScene, settings: SceneSettings, sampler: smp.Sampler,
                 pdf = light_pdf_sa + brdf_pdf
             else:
                 pdf = light_pdf_sa
-            lmat = ps.prim_mat[light_idx]
-            lemit = _gv(ps.mat_emission, lmat)
+            lemit = Vec3(lT[13], lT[14], lT[15])  # light16 emission lanes
             contrib = throughput * brdf * lemit * (n_dot_l / jnp.maximum(pdf, 1e-30))
-            nee_add = vwhere(visible, contrib, nee_add)
+            total = vwhere(visible, total + contrib, total)
             stats = stats + jnp.array([1.0, 0.0, 0.0]) * jnp.sum(facing.astype(jnp.float32))
-        total = total + nee_add
 
-        # ---- env-map NEE (implements the reference's stub) ----
+        # ---- env-map NEE shading (implements the reference's stub) ----
         if env_nee:
-            from ..ops import envmap
-            s, e_u, e_v = smp.sample_2d(s, strategy,
-                                        smp.SampleDimension.ENV_LIGHTING, bounce)
-            d_e, pdf_e, rad_e = envmap.sample_env_direction(
-                ps.env_cdf_marginal, ps.env_cdf_conditional, ps.env_pixels,
-                e_u, e_v)
-            n_dot_e = dot(N, d_e)
-            facing_e = (n_dot_e > 0.0) & do_diffuse & found & ~t_emissive
-            occ_e = traverse.intersect_shadow_ray(
-                ps, hit.p + d_e * EPSILON, d_e,
-                jnp.where(facing_e, traverse.BIG_T, -1.0),
-                jnp.full(n, -1, jnp.int32))
             visible_e = facing_e & ~occ_e
             if use_mis:
                 brdf_pdf_e = (n_dot_e / PI) if is_diffuse else (1.0 / (2.0 * PI))
@@ -425,5 +467,8 @@ def advanced(ps: PackedScene, settings: SceneSettings, sampler: smp.Sampler,
         # undo the per-bounce permutations: ray at slot i carries pix[i]
         inv = jnp.argsort(out[12])
         total = Vec3(total.x[inv], total.y[inv], total.z[inv])
-        s = jax.tree.map(lambda a: a[inv] if getattr(a, "ndim", 0) > 0 else a, s)
+        # rays live on axis 1 of 2-d sampler leaves (bn shifts, pre bases)
+        s = jax.tree.map(
+            lambda a: (a[:, inv] if getattr(a, "ndim", 0) == 2
+                       else a[inv] if getattr(a, "ndim", 0) == 1 else a), s)
     return total, s, out[11]

@@ -122,6 +122,102 @@ def light_pick_pdf(ps: PackedScene, I: Vec3, hit_prim, importance: bool):
     return pdf_hit / jnp.maximum(total, 1e-30)
 
 
+def pick_random_light_slot(ps: PackedScene, u, I: Vec3, importance: bool):
+    """``pick_random_light`` returning the light SLOT (index into the light
+    list, [0, L)) instead of the primitive index — the slot drives the
+    one-hot light-row contraction (``light_rows``) so the whole NEE path
+    runs without per-ray gathers (tools/prof24: the gathers were ~61
+    ms/bounce at 2M rays).  Same math as pick_random_light
+    (integrators.cpp:135-192)."""
+    lp = ps.light_prim  # (L,)
+    L = int(lp.shape[0])
+    if not importance or L == 1:
+        slot = jnp.clip((u * L - 1e-3).astype(jnp.int32), 0, L - 1)
+        return slot, jnp.full_like(u, 1.0 / L)
+    cx = ps.prim_fwd[lp, 3]
+    cy = ps.prim_fwd[lp, 7]
+    cz = ps.prim_fwd[lp, 11]
+    vx = cx[None, :] - I.x[..., None]
+    vy = cy[None, :] - I.y[..., None]
+    vz = cz[None, :] - I.z[..., None]
+    dist_sq = vx * vx + vy * vy + vz * vz
+    emis = ps.mat_emission
+    lmat = ps.prim_mat[lp]
+    lmax = jnp.maximum(emis.x[lmat], jnp.maximum(emis.y[lmat], emis.z[lmat]))
+    r = ps.prim_r[lp]
+    is_sph = (ps.prim_type[lp] == PRIM_SPHERE).astype(jnp.float32)
+    pdfs = lmax[None, :] * is_sph[None, :] * PI * r[None, :] ** 2 \
+        / jnp.maximum(dist_sq, 1e-12)
+    cdf = jnp.cumsum(pdfs, axis=-1)
+    total = cdf[..., -1]
+    e = total * u
+    slot = jnp.clip(jnp.sum((cdf < e[..., None]).astype(jnp.int32), axis=-1),
+                    0, L - 1)
+    # one-hot select instead of take_along_axis (per-ray gather)
+    oh = (slot[..., None] == jnp.arange(L, dtype=jnp.int32)).astype(jnp.float32)
+    pdf_sel = jnp.sum(pdfs * oh, axis=-1)
+    rcp_pdf = pdf_sel / jnp.maximum(total, 1e-30)
+    return slot, rcp_pdf
+
+
+def light_rows(ps: PackedScene, slot):
+    """(16, N) picked-light rows [fwd12 | r | emission3] via a one-hot MXU
+    contraction (16,L)@(L,N) — zero per-ray gathers, exact (each output is
+    one 1.0*x product at HIGHEST precision)."""
+    import jax
+    L = int(ps.light16.shape[0])
+    oh = (slot[None, :] == jnp.arange(L, dtype=jnp.int32)[:, None]
+          ).astype(jnp.float32)
+    return jax.lax.dot_general(
+        ps.light16, oh, (((0,), (0,)), ((), ())),
+        precision=jax.lax.Precision.HIGHEST,
+        preferred_element_type=jnp.float32)  # (16, N)
+
+
+def slot_to_prim(ps: PackedScene, slot):
+    """Light slot -> primitive index, as L static where-selects (no per-ray
+    gather).  Used for shadow-ray light exclusion (intersection.cpp:416)."""
+    L = int(ps.light_prim.shape[0])
+    out = jnp.zeros_like(slot)
+    for l in range(L):
+        out = jnp.where(slot == l, ps.light_prim[l], out)
+    return out
+
+
+def light_radius_of_prim(ps: PackedScene, hit_prim):
+    """Radius of the LIGHT primitive ``hit_prim`` hit by a BRDF ray (0 if the
+    hit is not a light) — L where-selects replace the prim_r per-ray gather
+    on the MIS emissive-hit side."""
+    L = int(ps.light_prim.shape[0])
+    out = jnp.zeros(hit_prim.shape, jnp.float32)
+    for l in range(L):
+        out = jnp.where(hit_prim == ps.light_prim[l], ps.light16[l, 12], out)
+    return out
+
+
+def random_point_on_light_rows(lT, u, v, I: Vec3) -> "LightSample":
+    """``random_point_on_light`` reading the picked light from its one-hot
+    (16, N) row block (``light_rows``) instead of per-ray gathers.
+    integrators.cpp:199-228 (sphere lights)."""
+    light_p = Vec3(lT[3], lT[7], lT[11])
+    towards_light = normalize(light_p - I)
+    r = lT[12]
+
+    nl = map_to_hemisphere(-towards_light, u, v)
+    p_local = nl * r
+    p_world = Vec3(
+        lT[0] * p_local.x + lT[1] * p_local.y + lT[2] * p_local.z + lT[3],
+        lT[4] * p_local.x + lT[5] * p_local.y + lT[6] * p_local.z + lT[7],
+        lT[8] * p_local.x + lT[9] * p_local.y + lT[10] * p_local.z + lT[11],
+    )
+    Lv = p_world - I
+    dist_sq = length_sq(Lv)
+    dist = jnp.sqrt(dist_sq)
+    Ldir = Lv / jnp.maximum(dist, 1e-30)
+    A = 2.0 * PI * r * r
+    return LightSample(Ldir, nl, dist, dist_sq, A)
+
+
 class LightSample(NamedTuple):
     L: Vec3  # unit direction to the sampled point
     Nl: Vec3  # light-surface normal at the point

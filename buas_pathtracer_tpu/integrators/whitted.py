@@ -34,16 +34,8 @@ from ..core.vec import (EPSILON, PI, Vec3, dot, exp as vexp, full_like, lerp,
 from ..models.scene import PackedScene, SceneSettings
 from ..ops import traverse
 from ..ops.shading import fresnel_dielectric, refract, sample_on_unit_sphere
-from .common import evaluate_material, random_point_on_light, sample_sky
-
-
-import os as _os
-
-# Deterministic first-split (the queued continuation lane).  The flag exists
-# for A/B evidence only: tests compare the split against the stochastic
-# fallback to show the variance reduction.  Callers flipping it at runtime
-# must jax.clear_caches() (it is trace-time, not part of the jit key).
-TRUE_SPLIT = _os.environ.get("BUAS_WHITTED_SPLIT", "1") != "0"
+from .common import (evaluate_material, random_point_on_light_rows,
+                     sample_sky)
 
 
 def _gv(v: Vec3, i) -> Vec3:
@@ -51,29 +43,44 @@ def _gv(v: Vec3, i) -> Vec3:
 
 
 def whitted(ps: PackedScene, settings: SceneSettings, sampler: smp.Sampler,
-            ray_o: Vec3, ray_d: Vec3, n_lights: int = 0):
+            ray_o: Vec3, ray_d: Vec3, n_lights: int = 0,
+            has_medium: bool = True):
+    """``has_medium`` is a pack-time static: scenes with no dielectric/medium
+    material never split, so the queued-continuation lane (and its doubled
+    ray-state memory + traversal lanes) compiles away entirely."""
     n_in = int(ray_o.x.shape[0])
     max_bounces = int(settings.max_bounce_count)
     strategy = int(settings.sampling_strategy)
     L = int(ps.light_prim.shape[0]) if n_lights > 0 else 0
+    # Deterministic first-split (the queued continuation lane).  jit-static
+    # via SceneSettings, like reference_mis; the stochastic fallback exists
+    # as A/B evidence (tests/test_integrators.py variance comparison).
+    use_split = (bool(getattr(settings, "whitted_true_split", True))
+                 and bool(has_medium))
 
-    # double the wavefront: lane i+n_in is pixel i's queued refraction
-    # continuation (dormant until its path's first dielectric split)
-    def dup(x):
-        return jnp.concatenate([x, x])
+    if use_split:
+        # double the wavefront: lane i+n_in is pixel i's queued refraction
+        # continuation (dormant until its path's first dielectric split)
+        def dup(x):
+            return jnp.concatenate([x, x])
 
-    def dupv(v: Vec3) -> Vec3:
-        return Vec3(dup(v.x), dup(v.y), dup(v.z))
+        def dupv(v: Vec3) -> Vec3:
+            return Vec3(dup(v.x), dup(v.y), dup(v.z))
 
-    ray_o, ray_d = dupv(ray_o), dupv(ray_d)
-    child_state = rng.seed_state(rng.hash_u32(sampler.state,
-                                             jnp.uint32(0x5C0FFEE5)))
-    sampler = smp.Sampler(
-        dup(sampler.x), dup(sampler.y), sampler.sample_index,
-        jnp.concatenate([sampler.state, child_state]),
-        jnp.concatenate([sampler.bn, sampler.bn], axis=-1)
-        if sampler.bn.size else jnp.zeros((0, 2 * n_in), jnp.float32))
-    n = (2 * n_in,)
+        ray_o, ray_d = dupv(ray_o), dupv(ray_d)
+        child_state = rng.seed_state(rng.hash_u32(sampler.state,
+                                                 jnp.uint32(0x5C0FFEE5)))
+        def dup2(m):  # (K, N) row blocks (bn shifts, pre bases)
+            return (jnp.concatenate([m, m], axis=-1) if m.size
+                    else jnp.zeros((0, 2 * n_in), jnp.float32))
+
+        sampler = smp.Sampler(
+            dup(sampler.x), dup(sampler.y), sampler.sample_index,
+            jnp.concatenate([sampler.state, child_state]),
+            dup2(sampler.bn), dup2(sampler.pre))
+        n = (2 * n_in,)
+    else:
+        n = (n_in,)
 
     def cond(st):
         bounce, alive = st[0], st[1]
@@ -119,14 +126,17 @@ def whitted(ps: PackedScene, settings: SceneSettings, sampler: smp.Sampler,
         for li in range(L):
             light_idx = jnp.broadcast_to(ps.light_prim[li], n).astype(jnp.int32)
             s, u_, v_ = smp.sample_2d(s, strategy, smp.SampleDimension.DIRECT_LIGHTING, 0)
-            ls = random_point_on_light(ps, light_idx, u_, v_, hit.p)
+            # the loop light is STATIC: its packed row reads as (16,1)
+            # scalar slices that broadcast — zero per-ray gathers (prof24)
+            lT = ps.light16[li][:, None]
+            ls = random_point_on_light_rows(lT, u_, v_, hit.p)
             n_dot_l = dot(N, ls.L)
             nl_dot_l = -dot(ls.Nl, ls.L)
             facing = (n_dot_l > 0.0) & (nl_dot_l > 0.0) & found & ~emissive
             occ = traverse.intersect_shadow_ray(
                 ps, hit.p + ls.L * EPSILON, ls.L,
                 jnp.where(facing, ls.dist - 2.0 * EPSILON, -1.0), light_idx)
-            lemit = _gv(ps.mat_emission, ps.prim_mat[light_idx])
+            lemit = Vec3(lT[13], lT[14], lT[15])
             c = lemit * (nl_dot_l * ls.A * n_dot_l / jnp.maximum(ls.dist_sq, 1e-12))
             illum = vwhere(facing & ~occ, illum + c, illum)
             stats = stats + jnp.array([1.0, 0.0, 0.0]) * jnp.sum(facing.astype(jnp.float32))
@@ -157,25 +167,27 @@ def whitted(ps: PackedScene, settings: SceneSettings, sampler: smp.Sampler,
         live = found & ~emissive
         split_req = live & is_medium
 
-        # deterministic first split: a first-half lane whose queue slot is
-        # still free forks for real — parent keeps the REFLECT branch with
-        # weight R, the child lane (activated below) gets the refraction
-        # with weight (1-R).  TIR (R ~ 1) doesn't waste the slot.
-        act = (split_req[:n_in] & ~child_used & ~alive[n_in:]
-               & (reflectance[:n_in] < 0.999))
-        if not TRUE_SPLIT:
-            act = jnp.zeros_like(act)
-        det = jnp.concatenate([act, jnp.zeros_like(act)])
+        if use_split:
+            # deterministic first split: a first-half lane whose queue slot
+            # is still free forks for real — parent keeps the REFLECT branch
+            # with weight R, the child lane (activated below) gets the
+            # refraction with weight (1-R).  TIR (R ~ 1) doesn't waste the
+            # slot.
+            act = (split_req[:n_in] & ~child_used & ~alive[n_in:]
+                   & (reflectance[:n_in] < 0.999))
+            det = jnp.concatenate([act, jnp.zeros_like(act)])
 
-        # child continuation values (from this bounce's INPUT throughput)
-        ch_d = Vec3(refr_d.x[:n_in], refr_d.y[:n_in], refr_d.z[:n_in])
-        ch_tp_full = throughput * tp_beer * (1.0 - reflectance)
-        ch_tp = Vec3(ch_tp_full.x[:n_in], ch_tp_full.y[:n_in],
-                     ch_tp_full.z[:n_in])
-        ch_o = Vec3(hit.p.x[:n_in] + ch_d.x * EPSILON,
-                    hit.p.y[:n_in] + ch_d.y * EPSILON,
-                    hit.p.z[:n_in] + ch_d.z * EPSILON)
-        ch_prev = mat_eff[:n_in]
+            # child continuation values (from this bounce's INPUT throughput)
+            ch_d = Vec3(refr_d.x[:n_in], refr_d.y[:n_in], refr_d.z[:n_in])
+            ch_tp_full = throughput * tp_beer * (1.0 - reflectance)
+            ch_tp = Vec3(ch_tp_full.x[:n_in], ch_tp_full.y[:n_in],
+                         ch_tp_full.z[:n_in])
+            ch_o = Vec3(hit.p.x[:n_in] + ch_d.x * EPSILON,
+                        hit.p.y[:n_in] + ch_d.y * EPSILON,
+                        hit.p.z[:n_in] + ch_d.z * EPSILON)
+            ch_prev = mat_eff[:n_in]
+        else:
+            det = jnp.zeros(n, bool)
 
         # medium: stochastic branch selection elsewhere (slot taken or
         # second-half lane splitting again)
@@ -202,25 +214,29 @@ def whitted(ps: PackedScene, settings: SceneSettings, sampler: smp.Sampler,
         o = vwhere(cont, new_o, o)
         d = vwhere(cont, new_d, d)
 
-        # enqueue the refraction on the child lane (static slice + concat,
-        # no gathers: child of lane i is lane i + n_in)
-        def enq(x, cv):
-            return jnp.concatenate([x[:n_in], jnp.where(act, cv, x[n_in:])])
+        if use_split:
+            # enqueue the refraction on the child lane (static slice +
+            # concat, no gathers: child of lane i is lane i + n_in)
+            def enq(x, cv):
+                return jnp.concatenate([x[:n_in],
+                                        jnp.where(act, cv, x[n_in:])])
 
-        o = Vec3(enq(o.x, ch_o.x), enq(o.y, ch_o.y), enq(o.z, ch_o.z))
-        d = Vec3(enq(d.x, ch_d.x), enq(d.y, ch_d.y), enq(d.z, ch_d.z))
-        throughput = Vec3(enq(throughput.x, ch_tp.x),
-                          enq(throughput.y, ch_tp.y),
-                          enq(throughput.z, ch_tp.z))
-        cont = enq(cont, jnp.ones_like(act))
-        prev_mat = enq(prev_mat, ch_prev)
-        child_used = child_used | act
+            o = Vec3(enq(o.x, ch_o.x), enq(o.y, ch_o.y), enq(o.z, ch_o.z))
+            d = Vec3(enq(d.x, ch_d.x), enq(d.y, ch_d.y), enq(d.z, ch_d.z))
+            throughput = Vec3(enq(throughput.x, ch_tp.x),
+                              enq(throughput.y, ch_tp.y),
+                              enq(throughput.z, ch_tp.z))
+            cont = enq(cont, jnp.ones_like(act))
+            prev_mat = enq(prev_mat, ch_prev)
+            child_used = child_used | act
 
         return (bounce + 1, cont, o, d, throughput, total, s, prev_mat,
                 stats, child_used)
 
+    alive0 = (jnp.concatenate([jnp.ones(n_in, bool), jnp.zeros(n_in, bool)])
+              if use_split else jnp.ones(n, bool))
     st0 = (jnp.zeros((), jnp.int32),
-           jnp.concatenate([jnp.ones(n_in, bool), jnp.zeros(n_in, bool)]),
+           alive0,
            ray_o, ray_d,
            full_like(ray_o, 1.0), zeros(n), sampler,
            jnp.full(n, -1, jnp.int32),
@@ -228,10 +244,12 @@ def whitted(ps: PackedScene, settings: SceneSettings, sampler: smp.Sampler,
            jnp.zeros(n_in, bool))
     out = jax.lax.while_loop(cond, body, st0)
     total2, s2 = out[5], out[6]
+    if not use_split:
+        return total2, s2, out[8]
     # fold the queued-continuation lanes back onto their pixels
     total = Vec3(total2.x[:n_in] + total2.x[n_in:],
                  total2.y[:n_in] + total2.y[n_in:],
                  total2.z[:n_in] + total2.z[n_in:])
     s_out = smp.Sampler(s2.x[:n_in], s2.y[:n_in], s2.sample_index,
-                        s2.state[:n_in], s2.bn[:, :n_in])
+                        s2.state[:n_in], s2.bn[:, :n_in], s2.pre[:, :n_in])
     return total, s_out, out[8]

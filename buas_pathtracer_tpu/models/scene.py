@@ -76,6 +76,11 @@ class SceneSettings:
     # program-size-constrained runs (the axon tunnel caps per-process
     # executables) — BRDF sampling still sees the env map when off
     env_nee: bool = True
+    # Whitted deterministic first-split (queued refraction continuation
+    # lane) vs single-sample stochastic branch selection.  jit-static like
+    # everything here; the stochastic variant exists as A/B variance
+    # evidence (tests/test_integrators.py).
+    whitted_true_split: bool = True
 
 
 @dataclass(frozen=True)
@@ -129,6 +134,11 @@ class PackedScene(NamedTuple):
 
     # lights (L>=1, masked by n_lights)
     light_prim: jnp.ndarray  # (L,) int32 index into primitives
+    # all per-light NEE data packed as (L,16) rows [fwd12 | r | emission3]:
+    # the integrator reads the picked light through ONE one-hot MXU
+    # contraction instead of 7+ per-ray small-table gathers (tools/prof24:
+    # the gathers cost ~61 ms/bounce at 2M rays)
+    light16: jnp.ndarray  # (L,16) f32
 
     # global triangle soup, leaf-ordered per mesh (T>=1)
     tri_a: Vec3
@@ -399,6 +409,11 @@ class Scene:
                 axis=1).astype(np.float32)) if len(ptype) else
             jnp.zeros((0, 16), jnp.float32),
             light_prim=jnp.asarray(np.array(lights, np.int32)),
+            light16=jnp.asarray(np.concatenate(
+                [pfwd[np.array(lights, np.int32)].reshape(len(lights), 12),
+                 pr[np.array(lights, np.int32)][:, None],
+                 memi[pmat[np.array(lights, np.int32)]]],
+                axis=1).astype(np.float32)),
             tri_a=V(tv[:, 0]), tri_b=V(tv[:, 1]), tri_c=V(tv[:, 2]),
             tri_na=V(tn[:, 0]), tri_nb=V(tn[:, 1]), tri_nc=V(tn[:, 2]),
             tri_has_n=jnp.asarray(th),
@@ -491,3 +506,13 @@ class Scene:
     @property
     def n_lights(self) -> int:
         return len(self.lights)
+
+    @property
+    def has_medium(self) -> bool:
+        """True when any SURFACE material (one actually referenced by a
+        primitive or plane) is a participating medium.  Pack-time static:
+        lets the Whitted integrator skip its queued-continuation lane
+        doubling for scenes that can never split (round-2 advisor)."""
+        used = {p["mat"] for p in self.prims}
+        used.update(m for (_, _, m) in self.planes)
+        return any(self.materials[m].is_participating_medium for m in used)

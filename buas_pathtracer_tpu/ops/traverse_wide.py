@@ -367,9 +367,10 @@ def _traverse(ps: PackedScene, o: Vec3, d: Vec3, t0, ignored_prim,
     # 640 ms).  Route per call on the measured block coherence of the live
     # directions — one cheap reduce.
     from . import pallas_packet as pp
-    if pp.enabled_for(rows):
+    if pp.enabled_for(rows, depth):
         return pp.traverse_dispatch(rows, ps.scene_lo, ps.scene_hi,
-                                    o, d, t0, ignored_prim, occlusion)
+                                    o, d, t0, ignored_prim, occlusion,
+                                    interpret=pp.interpret_mode())
 
     return _traverse_xla(ps, rows, depth, o, d, t0, ignored_prim, occlusion)
 
@@ -603,15 +604,26 @@ def intersect_scene(ps: PackedScene, ray_o: Vec3, ray_d: Vec3,
 
     # ---- deferred normal (":NormalCalculation", intersection.cpp:526-591) --
     primc = jnp.maximum(prim, 0)
-    # ONE row gather of (inverse transform | box extents | type), MXU-
-    # transposed so every per-field read is a sublane slice (a direct
-    # column extraction costs a full-array lane relayout per field, and
-    # separate gathers pay per-index latency 5x, docs/PERFORMANCE.md)
-    mT = jax.lax.dot_general(
-        jnp.eye(16, dtype=jnp.float32), ps.prim_nrm16[primc],
-        (((1,), (1,)), ((), ())),
-        precision=jax.lax.Precision.HIGHEST,
-        preferred_element_type=jnp.float32)
+    n_prims_k = int(ps.prim_nrm16.shape[0])
+    if n_prims_k <= 64:
+        # small prim table: one-hot MXU contraction — no per-ray gather at
+        # all (per-index latency is the cost, tools/prof24: one-hot 9x)
+        oh_p = (primc[None, :] == jnp.arange(n_prims_k, dtype=jnp.int32
+                                             )[:, None]).astype(jnp.float32)
+        mT = jax.lax.dot_general(
+            ps.prim_nrm16, oh_p, (((0,), (0,)), ((), ())),
+            precision=jax.lax.Precision.HIGHEST,
+            preferred_element_type=jnp.float32)
+    else:
+        # ONE row gather of (inverse transform | box extents | type), MXU-
+        # transposed so every per-field read is a sublane slice (a direct
+        # column extraction costs a full-array lane relayout per field, and
+        # separate gathers pay per-index latency 5x, docs/PERFORMANCE.md)
+        mT = jax.lax.dot_general(
+            jnp.eye(16, dtype=jnp.float32), ps.prim_nrm16[primc],
+            (((1,), (1,)), ((), ())),
+            precision=jax.lax.Precision.HIGHEST,
+            preferred_element_type=jnp.float32)
     mi = [mT[i] for i in range(12)]
     ptypes = _i32(mT[15])
 
@@ -671,10 +683,38 @@ def intersect_scene(ps: PackedScene, ray_o: Vec3, ray_d: Vec3,
     n_world = vwhere(is_mesh, n_mesh, n_ana_world)
 
     plc = jnp.maximum(plane_idx, 0)
-    n_world = vwhere(plane_won, _gather_v3(ps.plane_n, plc), n_world)
+    n_planes = int(ps.plane_mat.shape[0])
+    if n_planes <= 16:
+        # tiny plane set: unrolled where-chain, no per-ray gathers
+        n_plane = Vec3(jnp.zeros_like(bv), jnp.zeros_like(bv),
+                       jnp.zeros_like(bv))
+        for p_i in range(n_planes):
+            sel = plane_idx == p_i
+            n_plane = Vec3(jnp.where(sel, ps.plane_n.x[p_i], n_plane.x),
+                           jnp.where(sel, ps.plane_n.y[p_i], n_plane.y),
+                           jnp.where(sel, ps.plane_n.z[p_i], n_plane.z))
+    else:
+        n_plane = _gather_v3(ps.plane_n, plc)
+    n_world = vwhere(plane_won, n_plane, n_world)
 
-    mat_id = jnp.where(prim >= 0, ps.prim_mat[primc],
-                       jnp.where(plane_won, ps.plane_mat[plc], 0))
+    if n_prims_k <= 64 and n_planes <= 16:
+        # material ids via static where-chains (prims ride the one-hot made
+        # above; planes are a tiny unrolled loop) — no per-ray gathers
+        pm_f = jax.lax.dot_general(
+            ps.prim_mat.astype(jnp.float32)[None, :], oh_p,
+            (((1,), (0,)), ((), ())),
+            precision=jax.lax.Precision.HIGHEST,
+            preferred_element_type=jnp.float32)[0]
+        prim_mat_sel = pm_f.astype(jnp.int32)  # exact values < 2^24
+        plane_mat_sel = jnp.zeros_like(plc)
+        for p_i in range(n_planes):
+            plane_mat_sel = jnp.where(plane_idx == p_i, ps.plane_mat[p_i],
+                                      plane_mat_sel)
+        mat_id = jnp.where(prim >= 0, prim_mat_sel,
+                           jnp.where(plane_won, plane_mat_sel, 0))
+    else:
+        mat_id = jnp.where(prim >= 0, ps.prim_mat[primc],
+                           jnp.where(plane_won, ps.plane_mat[plc], 0))
 
     return Hit(t=t, hit_id=hit_id, mat_id=mat_id,
                tri=jnp.where(prim >= 0, tri, -1),

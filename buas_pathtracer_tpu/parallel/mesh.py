@@ -1,17 +1,29 @@
-"""Multi-chip rendering: pixel-sharded SPMD over a jax device mesh.
+"""Multi-chip rendering: pixel-sharded manual SPMD over a jax device mesh.
 
 The reference's only multi-worker parallelism is a tile work queue over OS
 threads with atomics + semaphores (SURVEY §2.2, raytracer.cpp:551-762).  The
 TPU replacement is dataflow, not a queue: pixel rows are sharded over the
 device mesh (data parallelism over rays — every device runs the identical
-wavefront program on its shard), the scene is replicated, and XLA's SPMD
-partitioner inserts the collectives:
+wavefront program on its row block), the scene is replicated, and the
+cross-device traffic is explicit:
 
-  * the reconstruction splat is a static stencil (shifted adds), so GSPMD
-    lowers the cross-shard filter overlap to a halo exchange over ICI —
-    replacing the reference's RACY unsynchronized cross-tile splat
-    (raytracer.cpp:240-258) with a deterministic collective;
-  * traversal-stats reduction becomes a psum (replacing atomic_add).
+  * each device renders SAMPLES for its own rows only, then exchanges the
+    r filter-radius boundary rows of (color, jitter) with its neighbors via
+    ``lax.ppermute`` (multi-hop when r exceeds the shard height, e.g.
+    Lanczos-12 on short shards) and runs the gather-form reconstruction
+    splat locally — replacing the reference's RACY unsynchronized cross-tile
+    splat (raytracer.cpp:240-258) with a deterministic collective;
+  * traversal-stats reduction is a ``psum`` (replacing atomic_add).
+
+Why ``shard_map`` instead of GSPMD sharding constraints (the round-2
+design): the production TPU traversal is a Pallas kernel, and a
+``pallas_call`` inside a GSPMD-partitioned program has no partitioning rule
+— the partitioner would fall back to a full all-gather or fail to compile.
+Under ``shard_map`` every device executes the kernel on its LOCAL ray shard
+with the (replicated) BVH table resident in its own VMEM — the manual-SPMD
+pattern custom kernels require.  The per-device body is bit-identical math
+to the single-device frame, so sharded and unsharded renders agree exactly
+(tests/test_scenes_sharded.py).
 
 There is no cancellation/semaphore machinery to port: progressive frames are
 asynchronously dispatched device computations, and "discard render" is just
@@ -20,7 +32,6 @@ dropping the in-flight buffer (runtime/progressive.py).
 
 from __future__ import annotations
 
-from functools import partial
 from typing import Optional
 
 import jax
@@ -28,10 +39,14 @@ import jax.numpy as jnp
 import numpy as np
 from jax.sharding import Mesh, NamedSharding, PartitionSpec as P
 
+from ..core import sampler as smp
 from ..core.jitfix import distinct_scalar_leaves, safe_jit
-from ..models.scene import PackedScene, Scene, SceneSettings
+from ..core.vec import Vec3
+from ..models.camera import generate_rays
+from ..models.scene import Scene
+from ..ops.filters import find_filter
 from ..runtime import film
-from ..runtime.render import render_frame_impl
+from ..runtime.render import _tiled, _untiled, find_integrator
 
 
 def make_mesh(n_devices: Optional[int] = None, devices=None) -> Mesh:
@@ -49,18 +64,47 @@ def row_sharded(mesh: Mesh):
     return NamedSharding(mesh, P("rows", None, None))
 
 
+def _exchange_halo(blk: jnp.ndarray, r: int, n_dev: int) -> jnp.ndarray:
+    """(hl, W, C) per-device rows -> (hl + 2r, W, C) with the r context rows
+    above/below filled from neighbor shards (zeros past the frame edge —
+    matching the zero padding of the single-device splat).
+
+    Multi-hop: when r > hl the halo spans several shards; hop k fetches the
+    needed slice of the block k devices away.  ppermute destinations with no
+    source (the frame edges) receive zeros, which is exactly the edge
+    semantics we need."""
+    hl = int(blk.shape[0])
+    zero = jnp.zeros((r,) + blk.shape[1:], blk.dtype)
+    top, bot = zero, zero
+    if n_dev > 1 and r > 0:
+        hops = -(-r // hl)
+        for k in range(1, hops + 1):
+            cnt = min(hl, r - (k - 1) * hl)
+            lo = r - (k - 1) * hl - cnt  # halo-local row range [lo, lo+cnt)
+            src_dn = jax.lax.ppermute(
+                blk, "rows", [(i, i + k) for i in range(n_dev - k)])
+            top = jax.lax.dynamic_update_slice_in_dim(
+                top, src_dn[hl - cnt:hl], lo, axis=0)
+            src_up = jax.lax.ppermute(
+                blk, "rows", [(i, i - k) for i in range(k, n_dev)])
+            bot = jax.lax.dynamic_update_slice_in_dim(
+                bot, src_up[:cnt], (k - 1) * hl, axis=0)
+    return jnp.concatenate([top, blk, bot], axis=0)
+
+
 class ShardedRenderer:
     """Row-sharded progressive renderer over a device mesh.
 
     The accumulation buffer lives row-sharded across devices; the packed
-    scene is replicated once.  Each render_frame call is one SPMD program.
-    """
+    scene is replicated once.  Each render_frame call is one shard_map
+    program: per-device ray gen -> integrate -> sample halo exchange ->
+    local splat."""
 
     def __init__(self, scene: Scene, w: int, h: int,
                  mesh: Optional[Mesh] = None, filter_name: Optional[str] = None):
         self.mesh = mesh if mesh is not None else make_mesh()
-        n = self.mesh.devices.size
-        assert h % n == 0, f"height {h} must divide over {n} devices"
+        n_dev = int(self.mesh.devices.size)
+        assert h % n_dev == 0, f"height {h} must divide over {n_dev} devices"
         self.w, self.h = w, h
         self.scene = scene
         self.filter_name = filter_name or scene.filter_name
@@ -72,15 +116,109 @@ class ShardedRenderer:
                                     row_sharded(self.mesh))
         self.frame_index = 0
 
+        hl = h // n_dev
+        n_lights = scene.n_lights
+        has_medium = scene.has_medium
+        filt = find_filter(self.filter_name)
+        r = int(filt.radius) if filt.f is not None else 0
+        mesh_ = self.mesh
+
+        def local_pass(ps, settings, cam, sample_index, row0):
+            """One sample for every pixel of THIS device's row block —
+            the same math as runtime/render.render_frame_impl's pass body,
+            over global pixel coordinates [row0, row0 + hl)."""
+            integrator = find_integrator(settings.integrator)
+            strategy = int(settings.sampling_strategy)
+            py_, px_ = jnp.meshgrid(jnp.arange(hl, dtype=jnp.int32),
+                                    jnp.arange(w, dtype=jnp.int32),
+                                    indexing="ij")
+            px = _tiled(px_)
+            py = _tiled(py_) + row0
+
+            sampler = smp.make_sampler(px, py, sample_index,
+                                       strategy=strategy)
+            sampler, aa_u, aa_v = smp.sample_2d(
+                sampler, strategy, smp.SampleDimension.AA, 0)
+            sampler, dof_u, dof_v = smp.sample_2d(
+                sampler, strategy, smp.SampleDimension.DOF, 0)
+            rays = generate_rays(
+                cam, px, py, w, h, aa_u, aa_v, dof_u, dof_v,
+                settings.lens_distortion, settings.f_factor,
+                settings.diaphragm_edges, settings.phi_shutter_max,
+                settings.vignette_strength)
+
+            from ..integrators import advanced as adv
+            from ..integrators import whitted as wht
+            if integrator is wht.whitted:
+                color, sampler, st_ = integrator(
+                    ps, settings, sampler, rays.o, rays.d,
+                    n_lights=n_lights, has_medium=has_medium)
+            elif integrator is adv.advanced:
+                color, sampler, st_ = integrator(
+                    ps, settings, sampler, rays.o, rays.d, n_lights=n_lights)
+            else:
+                color, sampler, st_ = integrator(ps, settings, sampler,
+                                                 rays.o, rays.d)
+            color = color * rays.vignette
+            cimg = Vec3(_untiled(color.x, hl, w), _untiled(color.y, hl, w),
+                        _untiled(color.z, hl, w))
+            jx = _untiled(aa_u - 0.5, hl, w)
+            jy = _untiled(aa_v - 0.5, hl, w)
+            return cimg, jx, jy, st_
+
+        def step_local(ps, settings, cam, accum_blk, frame_index):
+            """shard_map body: runs per device on its (hl, W, 4) block."""
+            row0 = jax.lax.axis_index("rows").astype(jnp.int32) * hl
+
+            # input anchoring (core/jitfix rationale, runtime/render.py)
+            anchor = jnp.float32(0.0)
+            for leaf in jax.tree.leaves((ps, cam, frame_index)):
+                if getattr(leaf, "size", 1) == 0:
+                    continue
+                anchor = anchor + 0.0 * jnp.asarray(
+                    leaf, jnp.float32).reshape(-1)[0]
+            stats = jnp.zeros(3) + anchor
+
+            for s_i in range(int(settings.samples_per_pixel)):
+                cimg, jx, jy, st_ = local_pass(ps, settings, cam,
+                                               frame_index + s_i, row0)
+                stats = stats + st_
+                sample = jnp.stack([cimg.x, cimg.y, cimg.z,
+                                    jnp.ones_like(cimg.x)], axis=-1)
+                if r > 0:
+                    # ONE ppermute chain moves [sample4 | jx | jy] together
+                    packed = jnp.concatenate(
+                        [sample, jx[..., None], jy[..., None]], axis=-1)
+                    ext = _exchange_halo(packed, r, n_dev)
+                    contrib = film.splat_pass_prepadded(
+                        ext[..., :4], ext[..., 4], ext[..., 5], filt)
+                else:
+                    contrib = sample
+                accum_blk = accum_blk + contrib
+            return accum_blk, jax.lax.psum(stats, "rows")
+
+        def step_fn(ps, settings, cam, accum, frame_index):
+            # settings is a jit-static dataclass: close over it so shard_map
+            # sees only array args (built fresh per trace — cached by jit)
+            body = jax.shard_map(
+                lambda ps_, cam_, blk, fi: step_local(ps_, settings, cam_,
+                                                      blk, fi),
+                mesh=mesh_,
+                in_specs=(P(), P(), P("rows", None, None), P()),
+                out_specs=(P("rows", None, None), P()),
+                # the traversal's while_loop carries start from invariant
+                # zeros and become device-varying inside the body, which the
+                # varying-manual-axes checker rejects; the collectives here
+                # (ppermute halo, psum stats) are hand-placed and tested for
+                # exact equality against the single-device render
+                check_vma=False,
+            )
+            return body(ps, cam, accum, frame_index)
+
         # safe_jit supplies the jax-0.9.0 dispatch recovery ladder
         # (core/jitfix): clear-cache retry, then consts-as-args fallback.
-        self._step = safe_jit(
-            partial(render_frame_impl, h=h, w=w, n_lights=scene.n_lights,
-                    filter_name=self.filter_name),
-            static_argnames=("settings",),
-            out_shardings=(row_sharded(self.mesh), repl),
-            donate_argnums=(3,),
-        )
+        self._step = safe_jit(step_fn, static_argnames=("settings",),
+                              donate_argnums=(3,))
 
     def step(self):
         """Render one frame (spp passes), accumulate. Returns stats (3,)."""

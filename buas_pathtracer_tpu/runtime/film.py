@@ -43,7 +43,6 @@ def splat_pass(color: Vec3, jitter_x, jitter_y, filt: FilterOption) -> jnp.ndarr
     color:    Vec3 of (H, W) arrays (one sample per pixel, vignetted)
     jitter_x: (H, W) AA jitter in [-0.5, 0.5] used for those samples
     """
-    h, w = color.x.shape
     sample = jnp.stack([color.x, color.y, color.z,
                         jnp.ones_like(color.x)], axis=-1)  # (H, W, 4)
 
@@ -51,10 +50,31 @@ def splat_pass(color: Vec3, jitter_x, jitter_y, filt: FilterOption) -> jnp.ndarr
         return sample
 
     r = int(filt.radius)
-    pad = [(r, r), (r, r), (0, 0)]
-    sp = jnp.pad(sample, pad)  # zero pad: out-of-frame neighbors contribute 0
-    jx = jnp.pad(jitter_x, [(r, r), (r, r)])
-    jy = jnp.pad(jitter_y, [(r, r), (r, r)])
+    # zero pad: out-of-frame neighbors contribute 0
+    return splat_pass_prepadded(
+        jnp.pad(sample, [(r, r), (0, 0), (0, 0)]),
+        jnp.pad(jitter_x, [(r, r), (0, 0)]),
+        jnp.pad(jitter_y, [(r, r), (0, 0)]), filt)
+
+
+def splat_pass_prepadded(sample_ext, jx_ext, jy_ext,
+                         filt: FilterOption) -> jnp.ndarray:
+    """Splat core over a VERTICALLY pre-padded sample block.
+
+    ``sample_ext`` is (H + 2r, W, 4): H owned rows plus r context rows above
+    and below — zeros at the frame edge, or REAL neighbor-shard samples under
+    manual SPMD (parallel/mesh.py exchanges them with ppermute, replacing the
+    halo GSPMD used to infer).  Identical arithmetic to the single-device
+    splat: bit-equal output for equal context rows.
+    """
+    if filt.f is None:
+        return sample_ext
+    r = int(filt.radius)
+    h = int(sample_ext.shape[0]) - 2 * r
+    w = int(sample_ext.shape[1])
+    sp = jnp.pad(sample_ext, [(0, 0), (r, r), (0, 0)])
+    jx = jnp.pad(jx_ext, [(0, 0), (r, r)])
+    jy = jnp.pad(jy_ext, [(0, 0), (r, r)])
 
     out = jnp.zeros((h, w, 4), jnp.float32)
 

@@ -73,7 +73,8 @@ class ProgressiveRenderer:
         self.accum, stats = render_frame(
             self.ps, self.settings, self.camera, self.accum,
             jnp.uint32(self.frame_count), h=self.h, w=self.w,
-            n_lights=self.n_lights, filter_name=self.filter_name)
+            n_lights=self.n_lights, filter_name=self.filter_name,
+            has_medium=self.scene.has_medium)
         self.frame_count += int(self.settings.samples_per_pixel)
         self.last_stats = np.asarray(stats)
         return self.frame_count

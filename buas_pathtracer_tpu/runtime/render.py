@@ -88,7 +88,8 @@ def _untiled(flat, h, w):
 
 def render_frame_impl(ps: PackedScene, settings: SceneSettings, cam: Camera,
                       accum: jnp.ndarray, frame_index, *, h: int, w: int,
-                      n_lights: int, filter_name: str = "Mitchell Netravali"):
+                      n_lights: int, filter_name: str = "Mitchell Netravali",
+                      has_medium: bool = True):
     """Accumulate ``settings.samples_per_pixel`` full-frame sample passes.
 
     frame_index: accumulated-samples-so-far (traced; no recompile per frame).
@@ -130,7 +131,11 @@ def render_frame_impl(ps: PackedScene, settings: SceneSettings, cam: Camera,
             settings.diaphragm_edges, settings.phi_shutter_max,
             settings.vignette_strength)
 
-        if integrator is adv.advanced or integrator is wht.whitted:
+        if integrator is wht.whitted:
+            color, sampler, st_ = integrator(ps, settings, sampler, rays.o,
+                                             rays.d, n_lights=n_lights,
+                                             has_medium=has_medium)
+        elif integrator is adv.advanced:
             color, sampler, st_ = integrator(ps, settings, sampler, rays.o, rays.d,
                                              n_lights=n_lights)
         else:
@@ -149,19 +154,20 @@ def render_frame_impl(ps: PackedScene, settings: SceneSettings, cam: Camera,
 
 _render_frame_jit = safe_jit(render_frame_impl,
                              static_argnames=("settings", "h", "w",
-                                              "n_lights", "filter_name"),
+                                              "n_lights", "filter_name",
+                                              "has_medium"),
                              donate_argnames=("accum",))
 
 
 def render_frame(ps, settings, cam, accum, frame_index, *, h, w, n_lights,
-                 filter_name="Mitchell Netravali"):
+                 filter_name="Mitchell Netravali", has_medium=True):
     """Jitted frame step with the jax-0.9.0 dispatch defenses (core/jitfix):
     camera python-scalar leaves become distinct 0-d arrays, and the call goes
     through safe_jit's recovery ladder."""
     cam = distinct_scalar_leaves(cam)
     return _render_frame_jit(ps, settings, cam, accum, frame_index,
                              h=h, w=w, n_lights=n_lights,
-                             filter_name=filter_name)
+                             filter_name=filter_name, has_medium=has_medium)
 
 
 def render(scene: Scene, w: int, h: int, frames: int = 1,
@@ -176,7 +182,8 @@ def render(scene: Scene, w: int, h: int, frames: int = 1,
     for f_i in range(frames):
         accum, st_ = render_frame(ps, scene.settings, scene.camera, accum,
                                   jnp.uint32(f_i * spp), h=h, w=w,
-                                  n_lights=scene.n_lights, filter_name=filter_name)
+                                  n_lights=scene.n_lights, filter_name=filter_name,
+                                  has_medium=scene.has_medium)
         stats = stats + st_
     hdr = film.resolve(accum)
     return jax.device_get(hdr), accum, stats

@@ -280,29 +280,26 @@ class TestWhittedSplit:
         o = Vec3(jnp.zeros(n), jnp.zeros(n), jnp.zeros(n))
         return ps, o, d, n
 
-    def _estimates(self, ps, o, d, n, k):
+    def _estimates(self, ps, o, d, n, k, true_split):
         from buas_pathtracer_tpu.core import sampler as smp
         from buas_pathtracer_tpu.integrators import whitted as wmod
-        sett = SceneSettings(max_bounce_count=6)
+        sett = SceneSettings(max_bounce_count=6,
+                             whitted_true_split=true_split)
         s = smp.make_sampler(jnp.arange(n, dtype=jnp.uint32),
-                             jnp.zeros(n, jnp.uint32), jnp.uint32(k))
+                             jnp.zeros(n, jnp.uint32), jnp.uint32(k),
+                             strategy=int(sett.sampling_strategy))
         col, _, _ = wmod.whitted(ps, sett, s, o, d, n_lights=0)
         return np.asarray(col.x)
 
     def test_split_unbiased_and_lower_variance(self):
-        from buas_pathtracer_tpu.integrators import whitted as wmod
         ps, o, d, n = self._setup()
         K = 24
-        prev = wmod.TRUE_SPLIT
-        try:
-            wmod.TRUE_SPLIT = True
-            split = np.stack([self._estimates(ps, o, d, n, k)
-                              for k in range(K)])
-            wmod.TRUE_SPLIT = False
-            stoch = np.stack([self._estimates(ps, o, d, n, k)
-                              for k in range(K)])
-        finally:
-            wmod.TRUE_SPLIT = prev
+        # the split flag is jit-static via SceneSettings (round-2 verdict
+        # item 8): flipping it is a settings change, no global mutation
+        split = np.stack([self._estimates(ps, o, d, n, k, True)
+                          for k in range(K)])
+        stoch = np.stack([self._estimates(ps, o, d, n, k, False)
+                          for k in range(K)])
         # same integral (unbiased): means agree within MC noise
         rel = abs(split.mean() - stoch.mean()) / max(stoch.mean(), 1e-6)
         assert rel < 0.02, rel

@@ -75,7 +75,7 @@ def test_closest_hit_parity(scene, case):
     n = 2048
     o, d, t0, ign = _rays(scene, n, **case)
     ref = tw._traverse(ps, o, d, t0, ign, occlusion=False)
-    out = pp.packet_traverse(ps.wide_rows, o, d, t0, ign, with_stats=True,
+    out = pp.packet_traverse(ps.wide_rows, o, d, t0, ign,
                              occlusion=False, interpret=True)
     np.testing.assert_allclose(np.asarray(out[0]), np.asarray(ref[0]),
                                rtol=1e-5, atol=1e-5)
@@ -101,7 +101,7 @@ def test_occlusion_parity(scene, case):
     # finite shadow-like max_t
     t0 = jnp.where(t0 > 0, 6.0, t0)
     ref = tw._traverse(ps, o, d, t0, ign, occlusion=True)
-    out = pp.packet_traverse(ps.wide_rows, o, d, t0, ign, with_stats=True,
+    out = pp.packet_traverse(ps.wide_rows, o, d, t0, ign,
                              occlusion=True, interpret=True)
     # occlusion contract: only prim>=0 matters
     np.testing.assert_array_equal(np.asarray(out[1]) >= 0,

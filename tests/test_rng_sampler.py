@@ -35,14 +35,19 @@ def test_seed_decorrelation():
 
 
 def _draw_grid(strategy, n_samples=64, dim=sampler.SampleDimension.AA):
-    s = sampler.make_sampler(
-        jnp.zeros(1, jnp.uint32), jnp.zeros(1, jnp.uint32), jnp.uint32(0),
-        strategy=strategy,
-    )
     us, vs = [], []
+    state = None
     for i in range(n_samples):
-        s = s._replace(sample_index=jnp.uint32(i))
+        # pre bases are keyed to sample_index (Sampler.pre docstring):
+        # build a fresh sampler per index, carrying the white-noise chain
+        s = sampler.make_sampler(
+            jnp.zeros(1, jnp.uint32), jnp.zeros(1, jnp.uint32),
+            jnp.uint32(i), strategy=strategy,
+        )
+        if state is not None:
+            s = s._replace(state=state)
         s, u, v = sampler.sample_2d(s, strategy, dim, jnp.int32(0))
+        state = s.state
         us.append(float(u[0]))
         vs.append(float(v[0]))
     return np.array(us), np.array(vs)
@@ -115,7 +120,8 @@ def test_blue_noise_error_spectrum_is_high_frequency():
 
 def test_deep_bounce_is_white_noise_and_in_range():
     s = sampler.make_sampler(
-        jnp.arange(128, dtype=jnp.uint32), jnp.zeros(128, jnp.uint32), jnp.uint32(3)
+        jnp.arange(128, dtype=jnp.uint32), jnp.zeros(128, jnp.uint32),
+        jnp.uint32(3), strategy=sampler.Strategy.STRATIFIED,
     )
     s, u, v = sampler.sample_2d(
         s, sampler.Strategy.STRATIFIED, sampler.SampleDimension.INDIRECT_LIGHTING, jnp.int32(3)
@@ -127,7 +133,8 @@ def test_deep_bounce_is_white_noise_and_in_range():
 
 def test_pixel_decorrelation_stratified():
     xs = jnp.arange(256, dtype=jnp.uint32)
-    s = sampler.make_sampler(xs, xs * 7 + 3, jnp.uint32(5))
+    s = sampler.make_sampler(xs, xs * 7 + 3, jnp.uint32(5),
+                             strategy=sampler.Strategy.STRATIFIED)
     s, u, _ = sampler.sample_2d(
         s, sampler.Strategy.STRATIFIED, sampler.SampleDimension.AA, jnp.int32(0)
     )

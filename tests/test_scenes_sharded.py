@@ -35,6 +35,13 @@ import os
 os.environ["JAX_PLATFORMS"] = "cpu"
 os.environ["XLA_FLAGS"] = os.environ.get("XLA_FLAGS", "") + \
     " --xla_force_host_platform_device_count=8"
+if %(packet)r:
+    # run the PRODUCTION Pallas packet kernel inside the sharded program
+    # (interpret mode: Mosaic only compiles for real TPUs).  pallas_call
+    # under shard_map is the manual-SPMD pattern custom kernels require —
+    # this is the path a real v5e-8 slice would execute.
+    os.environ["BUAS_TRAVERSAL"] = "packet"
+    os.environ["BUAS_PACKET_INTERPRET"] = "1"
 import jax
 jax.config.update("jax_platforms", "cpu")
 import jax.numpy as jnp
@@ -72,28 +79,33 @@ sharded = r.resolve()
 sc2 = build(w, h)
 ps = sc2.pack()
 accum = film.new_accumulation_buffer(h, w)
+os.environ.pop("BUAS_TRAVERSAL", None)  # single-device reference: XLA path
+os.environ.pop("BUAS_PACKET_INTERPRET", None)
 for f_i in range(2):
     accum, _ = render_frame(ps, sc2.settings, sc2.camera, accum,
                             jnp.uint32(f_i), h=h, w=w,
                             n_lights=sc2.n_lights, filter_name=sc2.filter_name)
 single = np.asarray(film.resolve(accum))
-np.testing.assert_allclose(sharded, single, rtol=1e-5, atol=1e-5)
+np.testing.assert_allclose(sharded, single, rtol=1e-5,
+                           atol=2e-3 if %(packet)r else 1e-5)
 print("SHARDED_OK")
 """
 
 
-@pytest.mark.parametrize("filter_name,with_env", [
-    ("Mitchell Netravali", False),
+@pytest.mark.parametrize("filter_name,with_env,packet", [
+    ("Mitchell Netravali", False, False),
     # radius-12 filter with 8 rows/device: the splat halo covers 3 neighbor
-    # shards each way — GSPMD must lower it to a (correct) multi-hop halo
-    # exchange, not just a nearest-neighbor one
-    ("Lanczos 12", False),
+    # shards each way — the manual ppermute exchange must be multi-hop
+    ("Lanczos 12", False, False),
     # replicated env CDF tables + env-NEE + psum'd stats under sharding
-    ("Mitchell Netravali", True),
+    ("Mitchell Netravali", True, False),
+    # the PRODUCTION packet traversal kernel inside the sharded program,
+    # compared against the single-device XLA path (round-2 verdict item 3)
+    ("Mitchell Netravali", True, True),
 ])
-def test_sharded_matches_single_device(filter_name, with_env):
-    """Row-sharded SPMD render == single-device render (same program, GSPMD
-    only changes placement; the splat halo exchange must be exact).
+def test_sharded_matches_single_device(filter_name, with_env, packet):
+    """Row-sharded manual-SPMD render == single-device render (the per-device
+    body is the same math; the sample halo exchange must be exact).
 
     Runs in a fresh subprocess: jax 0.9.0's dispatch-cache constant bug
     (runtime/render.py) triggers when many unrelated entries warm the cache
@@ -102,7 +114,8 @@ def test_sharded_matches_single_device(filter_name, with_env):
     import sys
     res = subprocess.run(
         [sys.executable, "-c",
-         SHARDED_SCRIPT % {"filter": filter_name, "with_env": with_env}],
+         SHARDED_SCRIPT % {"filter": filter_name, "with_env": with_env,
+                           "packet": packet}],
         capture_output=True, text=True, timeout=540,
         cwd=os.path.dirname(os.path.dirname(os.path.abspath(__file__))))
     assert "SHARDED_OK" in res.stdout, res.stderr[-2000:]
