@@ -246,8 +246,19 @@ def _kernel(rows_ref, ox, oy, oz, dx, dy, dz, t0r, ignr,
     tro[:] = tri
     bvo[:] = bv
     bwo[:] = bw
-    so[0] = nv
-    so[1] = tt
+
+    # stats accumulate into ONE (1, 2) SMEM block revisited by every grid
+    # step (TPU grid steps are sequential, so += is race-free).  A per-step
+    # (nb, 2) output is rejected by Mosaic's block-shape rule (last two dims
+    # must divide (8, 128) or equal the array's) — observed on the real
+    # chip; interpret mode accepted it.
+    @pl.when(pl.program_id(0) == 0)
+    def _init():
+        so[0, 0] = jnp.int32(0)
+        so[0, 1] = jnp.int32(0)
+
+    so[0, 0] = so[0, 0] + nv
+    so[0, 1] = so[0, 1] + tt
 
 
 @functools.partial(jax.jit, static_argnames=("occlusion", "interpret"))
@@ -279,7 +290,7 @@ def packet_traverse(rows, o: Vec3, d: Vec3, t0, ignored_prim,
     out_shapes = tuple(
         jax.ShapeDtypeStruct((nb, BS, BL), dt)
         for dt in (jnp.float32, jnp.int32, jnp.int32, jnp.float32,
-                   jnp.float32)) + (jax.ShapeDtypeStruct((nb, 2), jnp.int32),)
+                   jnp.float32)) + (jax.ShapeDtypeStruct((1, 2), jnp.int32),)
     grid_spec = pltpu.PrefetchScalarGridSpec(
         num_scalar_prefetch=0,
         grid=(nb,),
@@ -287,8 +298,7 @@ def packet_traverse(rows, o: Vec3, d: Vec3, t0, ignored_prim,
         in_specs=[pl.BlockSpec(memory_space=pltpu.VMEM)]
         + [blk() for _ in range(8)],
         out_specs=[blk() for _ in range(5)]
-        + [pl.BlockSpec((None, 2), lambda i: (i, 0),
-                        memory_space=pltpu.SMEM)],
+        + [pl.BlockSpec(memory_space=pltpu.SMEM)],
         scratch_shapes=[pltpu.SMEM((STACK + 1,), jnp.int32)],
     )
     kernel = functools.partial(_kernel, occlusion=occlusion)
@@ -304,8 +314,8 @@ def packet_traverse(rows, o: Vec3, d: Vec3, t0, ignored_prim,
     )(rows, *args)
 
     t, prim, tri, bv, bw = (x.reshape(-1)[:n] for x in outs[:5])
-    nv = jnp.sum(outs[5][:, 0])
-    tt = jnp.sum(outs[5][:, 1])
+    nv = outs[5][0, 0]
+    tt = outs[5][0, 1]
     return t, prim, tri, bv, bw, nv, tt
 
 

@@ -118,13 +118,12 @@ def shadow_fn():
     return f
 
 
-for key in ("", "oct_major"):
-    for force in ("0", "1"):
-        os.environ["BUAS_COMPACT_KEY"] = key
-        os.environ["BUAS_FORCE_COMPACT"] = force
-        label = f"key={key or 'morton':9s} force={force}"
-        tb = tmin(bounce_fn(), wave_args)
-        tsh = tmin(shadow_fn(), wave_args)
-        print(f"{label}: bounce-1 wave {tb:7.1f} ms   shadow wave {tsh:7.1f} ms",
-              flush=True)
+for key, force in (("", "0"), ("", "1"), ("oct_major", "1")):
+    os.environ["BUAS_COMPACT_KEY"] = key
+    os.environ["BUAS_FORCE_COMPACT"] = force
+    label = f"key={key or 'morton':9s} force={force}"
+    tb = tmin(bounce_fn(), wave_args)
+    tsh = tmin(shadow_fn(), wave_args)
+    print(f"{label}: bounce-1 wave {tb:7.1f} ms   shadow wave {tsh:7.1f} ms",
+          flush=True)
 print("PROF26 DONE", flush=True)
