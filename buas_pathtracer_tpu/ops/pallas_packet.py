@@ -32,7 +32,7 @@ from jax.experimental.pallas import tpu as pltpu
 from ..core.vec import Vec3
 from ..models.scene import PRIM_SPHERE
 from . import intersect
-from .wide_bvh import KIND_INTERNAL, KIND_TRIS, WIDE, WIDE_LEAF
+from .wide_bvh import KIND_INTERNAL, KIND_PRIM, KIND_TRIS, WIDE, WIDE_LEAF
 
 BS, BL = 8, 128                 # ray block shape (sublanes, lanes)
 BLOCK = BS * BL                 # 1024 rays per grid step
@@ -261,6 +261,197 @@ def _kernel(rows_ref, ox, oy, oz, dx, dy, dz, t0r, ignr,
     so[0, 1] = so[0, 1] + tt
 
 
+def _kernel_v2(rows_ref, ox, oy, oz, dx, dy, dz, t0r, ignr,
+               *refs, occlusion: bool):
+    """Uniform-branch packet walk (v2).
+
+    v1 evaluates ALL THREE node-type bodies (8 AABB slabs + sort network,
+    WIDE_LEAF triangle tests, analytic prim) every iteration because the
+    lax.while_loop carry forces every carried value to be produced
+    unconditionally.  The node kind is BLOCK-UNIFORM (a scalar), so v2 keeps
+    the per-ray state in the output refs themselves (read/write within the
+    grid step) and guards each body with ``pl.when(kind == ...)`` — each
+    iteration pays only its own node type's VPU work.  Occlusion mode also
+    drops the nearest-first sort network (any hit order works) and tracks
+    blockedness as ``po >= 0`` (a hit always records the prim id)."""
+    to, po, tro, bvo, bwo, so, stack, sp_ref = refs
+    o = Vec3(ox[:], oy[:], oz[:])
+    d = Vec3(dx[:], dy[:], dz[:])
+    t_in = t0r[:]
+    ign = ignr[:].astype(jnp.int32)
+    inv_d = intersect.safe_inv_dir(d)
+
+    live0 = t_in >= 0.0
+    any_live = jnp.any(live0)
+
+    @pl.when(pl.program_id(0) == 0)
+    def _init_stats():
+        so[0, 0] = jnp.int32(0)
+        so[0, 1] = jnp.int32(0)
+
+    to[:] = t_in
+    po[:] = jnp.full((BS, BL), -1, jnp.int32)
+    tro[:] = jnp.full((BS, BL), -1, jnp.int32)
+    bvo[:] = jnp.zeros((BS, BL), jnp.float32)
+    bwo[:] = jnp.zeros((BS, BL), jnp.float32)
+
+    @pl.when(any_live)
+    def _walk():
+        def cond(sp):
+            return sp > 0
+
+        def body(sp):
+            sp = sp - 1
+            cur = stack[sp]
+            row = rows_ref[cur]
+            kind = row[0].astype(jnp.int32)
+            sp_ref[0] = sp
+            t = to[:]
+            if occlusion:
+                active = live0 & (po[:] < 0)
+            else:
+                active = live0
+
+            @pl.when(kind == KIND_INTERNAL)
+            def _internal():
+                child_base = row[1].astype(jnp.int32)
+                sp_i = sp_ref[0]
+                keys = []
+                for c in range(WIDE):
+                    s = 2 + 6 * c
+                    t1x = (row[s + 0] - o.x) * inv_d.x
+                    t2x = (row[s + 3] - o.x) * inv_d.x
+                    t1y = (row[s + 1] - o.y) * inv_d.y
+                    t2y = (row[s + 4] - o.y) * inv_d.y
+                    t1z = (row[s + 2] - o.z) * inv_d.z
+                    t2z = (row[s + 5] - o.z) * inv_d.z
+                    tn = jnp.maximum(jnp.maximum(jnp.minimum(t1x, t2x),
+                                                 jnp.minimum(t1y, t2y)),
+                                     jnp.minimum(t1z, t2z))
+                    tf = jnp.minimum(jnp.minimum(jnp.maximum(t1x, t2x),
+                                                 jnp.maximum(t1y, t2y)),
+                                     jnp.maximum(t1z, t2z))
+                    hit_c = (tn < tf) & (tf > 0.0) & (tn < t) & active
+                    anyh = jnp.any(hit_c)
+                    if occlusion:
+                        keys.append(anyh)
+                    else:
+                        tmin = jnp.min(jnp.where(hit_c, jnp.maximum(tn, 0.0),
+                                                 BIG_T))
+                        keys.append(jnp.where(anyh, tmin,
+                                              jnp.float32(BIG_T * 2.0)))
+                if occlusion:
+                    # any order: push every hit child as-is
+                    for c in range(WIDE):
+                        ok = keys[c]
+                        idx = jnp.where(ok, sp_i, jnp.int32(STACK))
+                        stack[idx] = jnp.where(ok, child_base + c, stack[idx])
+                        sp_i = sp_i + ok.astype(jnp.int32)
+                else:
+                    pays = [jnp.int32(c) for c in range(WIDE)]
+                    for (i, j) in _SORT_PAIRS:
+                        swap = keys[i] > keys[j]
+                        ki = jnp.where(swap, keys[j], keys[i])
+                        kj = jnp.where(swap, keys[i], keys[j])
+                        pi = jnp.where(swap, pays[j], pays[i])
+                        pj = jnp.where(swap, pays[i], pays[j])
+                        keys[i], keys[j], pays[i], pays[j] = ki, kj, pi, pj
+                    for j in range(WIDE - 1, -1, -1):
+                        ok = keys[j] < BIG_T * 2.0
+                        slot = child_base + pays[j]
+                        idx = jnp.where(ok, sp_i, jnp.int32(STACK))
+                        stack[idx] = jnp.where(ok, slot, stack[idx])
+                        sp_i = sp_i + ok.astype(jnp.int32)
+                sp_ref[0] = sp_i
+
+            @pl.when(kind == KIND_TRIS)
+            def _tris():
+                count = row[1].astype(jnp.int32)
+                tri_base = row[2].astype(jnp.int32)
+                inst_t = row[3].astype(jnp.int32)
+                not_ign = inst_t != ign
+                t_l = to[:]
+                prim_l = po[:]
+                tri_l = tro[:]
+                bv_l = bvo[:]
+                bw_l = bwo[:]
+                for k in range(WIDE_LEAF):
+                    s = 8 + 9 * k
+                    ax_, ay_, az_ = row[s], row[s + 1], row[s + 2]
+                    e1x, e1y, e1z = row[s + 3], row[s + 4], row[s + 5]
+                    e2x, e2y, e2z = row[s + 6], row[s + 7], row[s + 8]
+                    pvx = d.y * e2z - d.z * e2y
+                    pvy = d.z * e2x - d.x * e2z
+                    pvz = d.x * e2y - d.y * e2x
+                    det = e1x * pvx + e1y * pvy + e1z * pvz
+                    ok = (det <= -intersect.TRI_EPS) \
+                        | (det >= intersect.TRI_EPS)
+                    inv_det = 1.0 / jnp.where(ok, det, 1.0)
+                    tvx, tvy, tvz = o.x - ax_, o.y - ay_, o.z - az_
+                    v_ = (tvx * pvx + tvy * pvy + tvz * pvz) * inv_det
+                    ok = ok & (v_ >= 0.0) & (v_ <= 1.0)
+                    qvx = tvy * e1z - tvz * e1y
+                    qvy = tvz * e1x - tvx * e1z
+                    qvz = tvx * e1y - tvy * e1x
+                    w_ = (d.x * qvx + d.y * qvy + d.z * qvz) * inv_det
+                    ok = ok & (w_ >= 0.0) & (v_ + w_ <= 1.0)
+                    t_new = (e2x * qvx + e2y * qvy + e2z * qvz) * inv_det
+                    ok = ok & (t_new >= intersect.TRI_EPS) & (t_l >= t_new)
+                    h = ok & not_ign & active & (k < count)
+                    t_l = jnp.where(h, t_new, t_l)
+                    prim_l = jnp.where(h, inst_t, prim_l)
+                    if not occlusion:
+                        tri_l = jnp.where(h, tri_base + k, tri_l)
+                        bv_l = jnp.where(h, v_, bv_l)
+                        bw_l = jnp.where(h, w_, bw_l)
+                if occlusion:
+                    po[:] = prim_l
+                else:
+                    to[:] = t_l
+                    po[:] = prim_l
+                    tro[:] = tri_l
+                    bvo[:] = bv_l
+                    bwo[:] = bw_l
+                so[0, 1] = so[0, 1] + count \
+                    * jnp.sum(active.astype(jnp.int32))
+
+            @pl.when(kind == KIND_PRIM)
+            def _prim():
+                prim_id = row[1].astype(jnp.int32)
+                ptype = row[2].astype(jnp.int32)
+                m = [row[4 + i] for i in range(12)]
+                os_ox = m[0] * o.x + m[1] * o.y + m[2] * o.z + m[3]
+                os_oy = m[4] * o.x + m[5] * o.y + m[6] * o.z + m[7]
+                os_oz = m[8] * o.x + m[9] * o.y + m[10] * o.z + m[11]
+                os_dx = m[0] * d.x + m[1] * d.y + m[2] * d.z
+                os_dy = m[4] * d.x + m[5] * d.y + m[6] * d.z
+                os_dz = m[8] * d.x + m[9] * d.y + m[10] * d.z
+                os_o = Vec3(os_ox, os_oy, os_oz)
+                os_d = Vec3(os_dx, os_dy, os_dz)
+                sph = ptype == PRIM_SPHERE
+                hs, ts_ = intersect.sphere(os_o, os_d, row[16], t)
+                hb, tb_ = intersect.box(os_o, os_d,
+                                        Vec3(row[17], row[18], row[19]), t)
+                ph = (prim_id != ign) & active & ((hs & sph) | (hb & ~sph))
+                to[:] = jnp.where(ph, jnp.where(sph, ts_, tb_), t)
+                po[:] = jnp.where(ph, prim_id, po[:])
+                if not occlusion:
+                    tro[:] = jnp.where(ph, -1, tro[:])
+
+            so[0, 0] = so[0, 0] + jnp.sum(active.astype(jnp.int32))
+            sp_o = sp_ref[0]
+            if occlusion:
+                done = ~jnp.any(live0 & (po[:] < 0))
+                sp_o = jnp.where(done, 0, sp_o)
+            return sp_o
+
+        stack[0] = jnp.int32(0)
+        jax.lax.while_loop(cond, body, jnp.int32(1))
+
+    # match v1's output convention for dead lanes: t_in passes through (it
+    # already does — dead lanes are never written)
+
+
 @functools.partial(jax.jit, static_argnames=("occlusion", "interpret"))
 def packet_traverse(rows, o: Vec3, d: Vec3, t0, ignored_prim,
                     occlusion: bool = False, interpret: bool = False):
@@ -291,6 +482,7 @@ def packet_traverse(rows, o: Vec3, d: Vec3, t0, ignored_prim,
         jax.ShapeDtypeStruct((nb, BS, BL), dt)
         for dt in (jnp.float32, jnp.int32, jnp.int32, jnp.float32,
                    jnp.float32)) + (jax.ShapeDtypeStruct((1, 2), jnp.int32),)
+    v2 = _os.environ.get("BUAS_PACKET_V1", "0") != "1"
     grid_spec = pltpu.PrefetchScalarGridSpec(
         num_scalar_prefetch=0,
         grid=(nb,),
@@ -299,9 +491,11 @@ def packet_traverse(rows, o: Vec3, d: Vec3, t0, ignored_prim,
         + [blk() for _ in range(8)],
         out_specs=[blk() for _ in range(5)]
         + [pl.BlockSpec(memory_space=pltpu.SMEM)],
-        scratch_shapes=[pltpu.SMEM((STACK + 1,), jnp.int32)],
+        scratch_shapes=[pltpu.SMEM((STACK + 1,), jnp.int32)]
+        + ([pltpu.SMEM((1,), jnp.int32)] if v2 else []),
     )
-    kernel = functools.partial(_kernel, occlusion=occlusion)
+    kernel = functools.partial(_kernel_v2 if v2 else _kernel,
+                               occlusion=occlusion)
     outs = pl.pallas_call(
         kernel,
         out_shape=out_shapes,

@@ -118,12 +118,29 @@ def shadow_fn():
     return f
 
 
-for key, force in (("", "0"), ("", "1"), ("oct_major", "1")):
+def primary_fn():
+    @jax.jit
+    def f(*a):
+        z = a[0] * 0 + 0.5
+        pr = cm.generate_rays(sc.camera, PX, PY, W, H, z, z, z * 0, z * 0,
+                              0.0, 1.0, 6, 0.0, 0.0)
+        out = pp.packet_traverse(ps.wide_rows, pr.o, pr.d,
+                                 jnp.full((N,), tw.BIG_T),
+                                 jnp.full((N,), -1, jnp.int32),
+                                 occlusion=False)
+        return out[0].sum() + out[1].sum()
+    return f
+
+
+for v1, key, force in (("1", "", "0"), ("0", "", "0"),
+                       ("0", "", "1"), ("0", "oct_major", "1")):
+    os.environ["BUAS_PACKET_V1"] = v1
     os.environ["BUAS_COMPACT_KEY"] = key
     os.environ["BUAS_FORCE_COMPACT"] = force
-    label = f"key={key or 'morton':9s} force={force}"
+    label = f"v{'1' if v1 == '1' else '2'} key={key or 'morton':9s} f={force}"
+    tp = tmin(primary_fn(), wave_args) if force == "0" else float("nan")
     tb = tmin(bounce_fn(), wave_args)
     tsh = tmin(shadow_fn(), wave_args)
-    print(f"{label}: bounce-1 wave {tb:7.1f} ms   shadow wave {tsh:7.1f} ms",
-          flush=True)
+    print(f"{label}: primary {tp:7.1f} ms   bounce-1 wave {tb:7.1f} ms   "
+          f"shadow wave {tsh:7.1f} ms", flush=True)
 print("PROF26 DONE", flush=True)
