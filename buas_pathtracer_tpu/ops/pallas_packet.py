@@ -452,10 +452,25 @@ def _kernel_v2(rows_ref, ox, oy, oz, dx, dy, dz, t0r, ignr,
     # already does — dead lanes are never written)
 
 
-@functools.partial(jax.jit, static_argnames=("occlusion", "interpret"))
 def packet_traverse(rows, o: Vec3, d: Vec3, t0, ignored_prim,
                     occlusion: bool = False, interpret: bool = False):
     """Block-coherent traversal over the whole flat ray batch.
+
+    The kernel version is resolved from ``BUAS_PACKET_V1`` HERE, at trace
+    time, and forwarded as a jit-STATIC argument: reading the env inside the
+    traced body would be frozen into the first-traced jaxpr and silently
+    ignored on later flips (the inner jit cache keys on avals, not env)."""
+    v2 = _os.environ.get("BUAS_PACKET_V1", "0") != "1"
+    return _packet_traverse(rows, o, d, t0, ignored_prim,
+                            occlusion=occlusion, interpret=interpret, v2=v2)
+
+
+@functools.partial(jax.jit,
+                   static_argnames=("occlusion", "interpret", "v2"))
+def _packet_traverse(rows, o: Vec3, d: Vec3, t0, ignored_prim,
+                     occlusion: bool = False, interpret: bool = False,
+                     v2: bool = True):
+    """Jitted body of :func:`packet_traverse`.
 
     Returns (t, prim, tri, bv, bw, node_visits, tri_tests) like
     traverse_wide._traverse.  Stats are ALWAYS on: they leave the kernel as
@@ -482,7 +497,6 @@ def packet_traverse(rows, o: Vec3, d: Vec3, t0, ignored_prim,
         jax.ShapeDtypeStruct((nb, BS, BL), dt)
         for dt in (jnp.float32, jnp.int32, jnp.int32, jnp.float32,
                    jnp.float32)) + (jax.ShapeDtypeStruct((1, 2), jnp.int32),)
-    v2 = _os.environ.get("BUAS_PACKET_V1", "0") != "1"
     grid_spec = pltpu.PrefetchScalarGridSpec(
         num_scalar_prefetch=0,
         grid=(nb,),

@@ -69,8 +69,19 @@ CASES = [
 ]
 
 
+@pytest.fixture(params=["v2", "v1"])
+def kernel_version(request, monkeypatch):
+    """Both kernel generations stay parity-tested.  The version is a
+    jit-static argument resolved from BUAS_PACKET_V1 at trace time
+    (pallas_packet.packet_traverse), so flipping the env per test is
+    honored."""
+    monkeypatch.setenv("BUAS_PACKET_V1",
+                       "1" if request.param == "v1" else "0")
+    return request.param
+
+
 @pytest.mark.parametrize("case", CASES)
-def test_closest_hit_parity(scene, case):
+def test_closest_hit_parity(scene, kernel_version, case):
     ps = scene.pack()
     n = 2048
     o, d, t0, ign = _rays(scene, n, **case)
@@ -94,7 +105,7 @@ def test_closest_hit_parity(scene, case):
 
 
 @pytest.mark.parametrize("case", CASES)
-def test_occlusion_parity(scene, case):
+def test_occlusion_parity(scene, kernel_version, case):
     ps = scene.pack()
     n = 2048
     o, d, t0, ign = _rays(scene, n, seed=3, **case)
