@@ -13,8 +13,9 @@ scalar-indexed VMEM row — supported directly by Mosaic.  Coherent blocks
 ray; fully-dead blocks skip the walk entirely, so late mostly-dead bounces
 cost nothing without any compaction machinery.
 
-The BVH table must fit VMEM (~12 MB => ~45k rows); larger scenes fall back
-to the XLA phased path (ops/traverse_wide).  Tables, row layout, and hit
+The BVH table must fit VMEM (30 MB budget => ~120k 256-byte rows, measured
+tools/prof28); larger scenes fall back to the XLA phased path
+(ops/traverse_wide).  Tables, row layout, and hit
 semantics are IDENTICAL to ops/wide_bvh.py / traverse_wide.py; parity is
 enforced by tests/test_pallas_packet.py against the XLA path.
 """
@@ -38,7 +39,6 @@ BS, BL = 8, 128                 # ray block shape (sublanes, lanes)
 BLOCK = BS * BL                 # 1024 rays per grid step
 STACK = 192                     # block-shared stack bound (depth*W margin)
 BIG_T = 1e30
-VMEM_ROW_LIMIT = 45000          # ~11.5 MB of 256-byte rows
 
 _SORT_PAIRS = []                # Batcher network over the 8 child slots
 
@@ -516,9 +516,10 @@ def _packet_traverse(rows, o: Vec3, d: Vec3, t0, ignored_prim,
         grid_spec=grid_spec,
         interpret=interpret,
         # the resident table + staging sits right at the default 16 MB
-        # scoped-vmem cap (observed 16.01/16.00 OOMs); give it headroom
+        # scoped-vmem cap (observed 16.01/16.00 OOMs); grant enough for the
+        # 30 MB table budget + staging (48 MB validated, tools/prof28)
         compiler_params=pltpu.CompilerParams(
-            vmem_limit_bytes=24 * 1024 * 1024),
+            vmem_limit_bytes=48 * 1024 * 1024),
     )(rows, *args)
 
     t, prim, tri, bv, bw = (x.reshape(-1)[:n] for x in outs[:5])
@@ -561,11 +562,12 @@ def stack_fits(depth: int) -> bool:
     return depth * (WIDE - 1) + 1 <= STACK
 
 
-# Measured fit on v5e: a 45k x 64-float table (~11.5 MB) plus block staging
-# sits inside the 24 MB scoped-vmem grant.  Expressed in BYTES so wider rows
-# (BUAS_WIDE=16 -> 128 floats) shrink the row budget instead of silently
-# doubling the footprint (round-2 advisor finding).
-VMEM_TABLE_LIMIT_BYTES = VMEM_ROW_LIMIT * 64 * 4
+# Measured fit on v5e (tools/prof28): a 32 MB resident table + block staging
+# compiles and runs under a 48 MB scoped-vmem grant; 48 MB tables fail the
+# remote compile.  30 MB keeps headroom for the staging blocks.  Expressed
+# in BYTES so wider rows (BUAS_WIDE=16 -> 128 floats) shrink the row budget
+# instead of silently doubling the footprint (round-2 advisor finding).
+VMEM_TABLE_LIMIT_BYTES = 30 * 1024 * 1024
 
 
 def enabled_for(rows, depth: int) -> bool:
@@ -617,14 +619,32 @@ def _compact_key(o: Vec3, d: Vec3, ign, lo, hi):
     union of both lights' occluder sets); for closest-hit calls it is
     constant (-1) and changes nothing.
 
-    BUAS_COMPACT_KEY=oct_major lifts the direction octant ABOVE the Morton
-    bits: blocks then share a bounded direction cone (the union of a
-    block's traversal orders collapses), at the cost of weaker spatial
-    clustering — measured per wavefront type, tools/prof26."""
+    The direction octant rides ABOVE the Morton bits by default
+    (oct_major): blocks then share a bounded direction cone (the union of
+    a block's traversal orders collapses), at the cost of weaker spatial
+    clustering — measured 476 vs 528 ms on the real 60%-live bounce-1
+    wave, equal on shadow waves (tools/prof26).  BUAS_COMPACT_KEY=morton
+    restores octant-minor for probes."""
     mk = _morton_key(o, d, lo, hi)  # (morton18 << 3) | octant
-    if _os.environ.get("BUAS_COMPACT_KEY", "") == "oct_major":
+    if _os.environ.get("BUAS_COMPACT_KEY", "oct_major") == "oct_major":
         mk = ((jnp.bitwise_and(mk, 7) << 18) | (mk >> 3))
     return ((jnp.bitwise_and(ign.astype(jnp.int32) + 1, 0xF) << 27) | mk)
+
+
+def block_coherence(d: Vec3, t0):
+    """Mean resultant length of the live directions within (8,128) blocks —
+    ~1.0 for primary/shadow fans, ~0.3 for diffuse bounce fans.  One cheap
+    reduce; a partial tail block is ignored."""
+    n = int(t0.shape[0])
+    live = t0 >= 0.0
+    nfull = (n // BLOCK) * BLOCK
+    lf = live[:nfull].astype(jnp.float32).reshape(-1, BLOCK)
+    sx = jnp.sum((d.x[:nfull] * lf.reshape(-1)).reshape(-1, BLOCK), axis=1)
+    sy = jnp.sum((d.y[:nfull] * lf.reshape(-1)).reshape(-1, BLOCK), axis=1)
+    sz = jnp.sum((d.z[:nfull] * lf.reshape(-1)).reshape(-1, BLOCK), axis=1)
+    cnt = jnp.sum(lf, axis=1)
+    rlen = jnp.sqrt(sx * sx + sy * sy + sz * sz) / jnp.maximum(cnt, 1.0)
+    return jnp.sum(rlen * cnt) / jnp.maximum(jnp.sum(cnt), 1.0)
 
 
 def traverse_dispatch(rows, scene_lo, scene_hi, o: Vec3, d: Vec3, t0,
@@ -648,17 +668,7 @@ def traverse_dispatch(rows, scene_lo, scene_hi, o: Vec3, d: Vec3, t0,
 
     live = t0 >= 0.0
     n_live = jnp.sum(live.astype(jnp.int32))
-
-    # block coherence: ||sum of live unit dirs|| / live-count per block
-    # (over the whole-block prefix; a partial tail block is ignored)
-    nfull = (n // BLOCK) * BLOCK
-    lf = live[:nfull].astype(jnp.float32).reshape(-1, BLOCK)
-    sx = jnp.sum((d.x[:nfull] * lf.reshape(-1)).reshape(-1, BLOCK), axis=1)
-    sy = jnp.sum((d.y[:nfull] * lf.reshape(-1)).reshape(-1, BLOCK), axis=1)
-    sz = jnp.sum((d.z[:nfull] * lf.reshape(-1)).reshape(-1, BLOCK), axis=1)
-    cnt = jnp.sum(lf, axis=1)
-    rlen = jnp.sqrt(sx * sx + sy * sy + sz * sz) / jnp.maximum(cnt, 1.0)
-    coh = jnp.sum(rlen * cnt) / jnp.maximum(jnp.sum(cnt), 1.0)
+    coh = block_coherence(d, t0)
 
     args = (o.x, o.y, o.z, d.x, d.y, d.z, t0,
             ignored_prim.astype(jnp.float32))

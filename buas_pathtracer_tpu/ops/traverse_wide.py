@@ -358,19 +358,41 @@ def _traverse(ps: PackedScene, o: Vec3, d: Vec3, t0, ignored_prim,
     rows = ps.wide_rows
     n = int(t0.shape[0])
 
-    # Hybrid dispatch (measured, tools/prof19-22): the Pallas packet kernel
-    # (ops/pallas_packet.py) wins ~5x on COHERENT wavefronts (primary rays
-    # in pixel-tile order: 43 ms vs 200 ms at 1080p; shadow rays toward a
-    # light), because a block's union-of-members visit set stays near one
-    # ray's.  On INCOHERENT wavefronts (post-bounce diffuse fans) the union
-    # explodes and the per-ray lockstep XLA pipeline wins ~3x (220 ms vs
-    # 640 ms).  Route per call on the measured block coherence of the live
-    # directions — one cheap reduce.
+    # Hybrid dispatch (measured on the REAL frame waves, tools/prof26+29 at
+    # 1080p): the Pallas packet kernel wins COHERENT wavefronts — primary
+    # closest-hit 28 ms vs 275 (block union-of-members ~ one ray's visit
+    # set) and ALL occlusion queries (merged NEE shadow wave: 96 ms packet
+    # vs 181 XLA; any-order + first-hit exit suit the block walk).  On
+    # INCOHERENT closest-hit (post-bounce diffuse fans) a block's union
+    # explodes (~30x a primary block's iterations) and the per-ray-progress
+    # phased XLA pipeline wins 2.4x (202 ms vs 476 at 60% live).  Occlusion
+    # routes statically to the packet path; closest-hit routes on the
+    # measured block coherence of the live directions (one cheap reduce) —
+    # primary/specular waves take the packet branch, diffuse waves the XLA
+    # branch.  BUAS_INCOHERENT=packet restores the all-packet policy.
     from . import pallas_packet as pp
     if pp.enabled_for(rows, depth):
-        return pp.traverse_dispatch(rows, ps.scene_lo, ps.scene_hi,
-                                    o, d, t0, ignored_prim, occlusion,
-                                    interpret=pp.interpret_mode())
+        interp = pp.interpret_mode()
+        if (occlusion or n <= pp.COMPACT_BLOCKS * pp.BLOCK
+                or os.environ.get("BUAS_INCOHERENT", "xla") == "packet"):
+            return pp.traverse_dispatch(rows, ps.scene_lo, ps.scene_hi,
+                                        o, d, t0, ignored_prim, occlusion,
+                                        interpret=interp)
+        args = (o.x, o.y, o.z, d.x, d.y, d.z, t0, ignored_prim)
+
+        def coherent(a):
+            return pp.packet_traverse(
+                rows, Vec3(a[0], a[1], a[2]), Vec3(a[3], a[4], a[5]),
+                a[6], a[7], occlusion=False, interpret=interp)
+
+        def incoherent(a):
+            return _traverse_xla(ps, rows, depth,
+                                 Vec3(a[0], a[1], a[2]),
+                                 Vec3(a[3], a[4], a[5]), a[6], a[7],
+                                 occlusion=False)
+
+        coh = pp.block_coherence(d, t0)
+        return jax.lax.cond(coh > 0.9, coherent, incoherent, args)
 
     return _traverse_xla(ps, rows, depth, o, d, t0, ignored_prim, occlusion)
 

@@ -137,6 +137,27 @@ def test_dispatch_compacted_branch_parity(scene, monkeypatch):
     np.testing.assert_array_equal(np.asarray(out[2]), np.asarray(ref[2]))
 
 
+@pytest.mark.parametrize("incoherent", [False, True])
+def test_hybrid_route_parity(scene, monkeypatch, incoherent):
+    """traverse_wide._traverse's closest-hit hybrid (lax.cond: coherent ->
+    packet kernel, incoherent -> XLA phased) must agree with the plain XLA
+    path on both branches.  Shrink COMPACT_BLOCKS so a small batch crosses
+    the hybrid threshold in interpret mode."""
+    monkeypatch.setattr(pp, "COMPACT_BLOCKS", 2)
+    monkeypatch.setenv("BUAS_TRAVERSAL", "packet")
+    monkeypatch.setenv("BUAS_PACKET_INTERPRET", "1")
+    ps = scene.pack()
+    n = 4096
+    o, d, t0, ign = _rays(scene, n, seed=5, incoherent=incoherent)
+    out = tw._traverse(ps, o, d, t0, ign, occlusion=False)
+    monkeypatch.setenv("BUAS_TRAVERSAL", "wide")
+    ref = tw._traverse(ps, o, d, t0, ign, occlusion=False)
+    np.testing.assert_allclose(np.asarray(out[0]), np.asarray(ref[0]),
+                               rtol=1e-5, atol=1e-5)
+    np.testing.assert_array_equal(np.asarray(out[1]), np.asarray(ref[1]))
+    np.testing.assert_array_equal(np.asarray(out[2]), np.asarray(ref[2]))
+
+
 def test_dispatch_natural_branch_parity(scene):
     """Dense wavefronts take the natural-order branch."""
     ps = scene.pack()

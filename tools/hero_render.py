@@ -56,13 +56,15 @@ def hero_scene(w, h):
                          aspect=w / h, lens_radius=0.12,
                          focus_distance=12.5)
     sc.camera = cm.aim_camera_at(cam, (0, 1.9, 0))
-    # env_nee off: the env-NEE call site pushes the frame program past the
-    # axon tunnel's per-process executable table (crash at ~113); the env
-    # map still lights the scene through BRDF sampling
+    # env_nee ON: light-NEE and env-NEE occlusion queries ride ONE merged
+    # shadow traversal per bounce (integrators/advanced.py), so the frame
+    # program keeps two traversal call sites and stays under the axon
+    # tunnel's per-process executable table (round-2 crash was at ~113 with
+    # the third call site).
     # spp=1 per frame: samples_per_pixel unrolls whole integrator passes
     # into ONE program, and the axon tunnel caps per-process executables
     sc.settings = SceneSettings(max_bounce_count=8, samples_per_pixel=1,
-                                env_nee=False)
+                                env_nee=True)
     return sc
 
 
