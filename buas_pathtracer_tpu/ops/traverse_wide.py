@@ -358,23 +358,24 @@ def _traverse(ps: PackedScene, o: Vec3, d: Vec3, t0, ignored_prim,
     rows = ps.wide_rows
     n = int(t0.shape[0])
 
-    # Hybrid dispatch (measured on the REAL frame waves, tools/prof26+29 at
-    # 1080p): the Pallas packet kernel wins COHERENT wavefronts — primary
-    # closest-hit 28 ms vs 275 (block union-of-members ~ one ray's visit
-    # set) and ALL occlusion queries (merged NEE shadow wave: 96 ms packet
-    # vs 181 XLA; any-order + first-hit exit suit the block walk).  On
-    # INCOHERENT closest-hit (post-bounce diffuse fans) a block's union
-    # explodes (~30x a primary block's iterations) and the per-ray-progress
-    # phased XLA pipeline wins 2.4x (202 ms vs 476 at 60% live).  Occlusion
-    # routes statically to the packet path; closest-hit routes on the
-    # measured block coherence of the live directions (one cheap reduce) —
-    # primary/specular waves take the packet branch, diffuse waves the XLA
-    # branch.  BUAS_INCOHERENT=packet restores the all-packet policy.
+    # Routing policy (measured IN-FRAME, bench_A vs bench_r3b at 1080p):
+    # the Pallas packet kernel takes EVERY wave.  Standalone wave probes
+    # (tools/prof26+29) said the phased XLA pipeline wins incoherent
+    # closest-hit 2.4x (202 ms vs 476 at 60% live), but routing the frame's
+    # diffuse bounces to it (a lax.cond on measured block coherence)
+    # REGRESSED the full frame 1079 -> 2575 ms: the XLA path's per-chunk
+    # lockstep cost is roughly liveness-independent (~200 ms/wave at 2M
+    # lanes), so every sparse late bounce that the compacted packet path
+    # finishes in ~10 ms paid it.  A liveness-aware cond would still pay
+    # the dual-path compile and the probe numbers do not reproduce
+    # in-frame (the real bounce waves are more coherent than the probe's
+    # synthetic fan after oct_major compaction).  BUAS_INCOHERENT=xla
+    # opts the cond back in for experiments.
     from . import pallas_packet as pp
     if pp.enabled_for(rows, depth):
         interp = pp.interpret_mode()
         if (occlusion or n <= pp.COMPACT_BLOCKS * pp.BLOCK
-                or os.environ.get("BUAS_INCOHERENT", "xla") == "packet"):
+                or os.environ.get("BUAS_INCOHERENT", "packet") != "xla"):
             return pp.traverse_dispatch(rows, ps.scene_lo, ps.scene_hi,
                                         o, d, t0, ignored_prim, occlusion,
                                         interpret=interp)

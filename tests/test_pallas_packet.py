@@ -141,9 +141,12 @@ def test_dispatch_compacted_branch_parity(scene, monkeypatch):
 def test_hybrid_route_parity(scene, monkeypatch, incoherent):
     """traverse_wide._traverse's closest-hit hybrid (lax.cond: coherent ->
     packet kernel, incoherent -> XLA phased) must agree with the plain XLA
-    path on both branches.  Shrink COMPACT_BLOCKS so a small batch crosses
-    the hybrid threshold in interpret mode."""
+    path on both branches.  The cond is opt-in (BUAS_INCOHERENT=xla; the
+    in-frame measurement picked all-packet as default) but must stay
+    correct.  Shrink COMPACT_BLOCKS so a small batch crosses the hybrid
+    threshold in interpret mode."""
     monkeypatch.setattr(pp, "COMPACT_BLOCKS", 2)
+    monkeypatch.setenv("BUAS_INCOHERENT", "xla")
     monkeypatch.setenv("BUAS_TRAVERSAL", "packet")
     monkeypatch.setenv("BUAS_PACKET_INTERPRET", "1")
     ps = scene.pack()
