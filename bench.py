@@ -116,6 +116,7 @@ def main():
             ch_mrays = None
     bounces = int(os.environ.get("BENCH_BOUNCES", 0))  # attribution knobs
     nee = os.environ.get("BENCH_NEE", "1") == "1"
+    filt = os.environ.get("BENCH_FILTER", "Mitchell Netravali")
 
     from buas_pathtracer_tpu.models.scene import SceneSettings
     from buas_pathtracer_tpu.runtime import film
@@ -143,7 +144,7 @@ def main():
     accum, stats = render_frame(ps, sc.settings, sc.camera, accum,
                                 jnp.uint32(seed), h=h, w=w,
                                 n_lights=sc.n_lights,
-                                filter_name="Mitchell Netravali")
+                                filter_name=filt)
     np.asarray(stats)  # REAL sync (block_until_ready can lie over axon)
 
     t0 = time.perf_counter()
@@ -153,7 +154,7 @@ def main():
                                     jnp.uint32(seed + (f_i + 1) * spp),
                                     h=h, w=w,
                                     n_lights=sc.n_lights,
-                                    filter_name="Mitchell Netravali")
+                                    filter_name=filt)
     # np.asarray forces a real host fetch: over the axon tunnel,
     # block_until_ready alone can return before the dispatch queue drains
     # and report impossible numbers (CLAUDE.md pitfall 4b)
