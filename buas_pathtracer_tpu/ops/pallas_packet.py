@@ -612,22 +612,68 @@ def _morton_key(o: Vec3, d: Vec3, lo, hi):
     return (m << 3) | oct_
 
 
-def _compact_key(o: Vec3, d: Vec3, ign, lo, hi):
+def _key6d(o: Vec3, d: Vec3, lo, hi):
+    """6D Morton: 6 bits/axis position + 2 bits/axis direction, interleaved
+    with the direction bits riding at the FINE end (inside a fine spatial
+    cell, rays split by direction halves).  Offline replay of the real
+    60%-live bounce-1 wave (tools/prof31) measured mean per-block
+    visited-row unions of 204 under this key vs 391 for oct_major and 293
+    for plain Morton — direction-aware binning halves the union a packet
+    block walks.  24 bits total, so the 4 ignored-prim bits still fit
+    above (bit 24..27)."""
+    ext = jnp.maximum(jnp.asarray(hi, jnp.float32)
+                      - jnp.asarray(lo, jnp.float32), 1e-6)
+
+    def q(c, l, e, bits):
+        return jnp.clip((c - l) / e * float(1 << bits),
+                        0.0, float((1 << bits) - 1)).astype(jnp.int32)
+
+    p = [q(o.x, lo[0], ext[0], 6), q(o.y, lo[1], ext[1], 6),
+         q(o.z, lo[2], ext[2], 6)]
+    dq = [jnp.clip((d.x * 0.5 + 0.5) * 4.0, 0.0, 3.0).astype(jnp.int32),
+          jnp.clip((d.y * 0.5 + 0.5) * 4.0, 0.0, 3.0).astype(jnp.int32),
+          jnp.clip((d.z * 0.5 + 0.5) * 4.0, 0.0, 3.0).astype(jnp.int32)]
+    out = jnp.zeros_like(p[0])
+    shift = 0
+    for b in range(6):
+        if b < 2:
+            for i in range(3):
+                out = out | (((dq[i] >> b) & 1) << shift)
+                shift += 1
+        for i in range(3):
+            out = out | (((p[i] >> b) & 1) << shift)
+            shift += 1
+    return out
+
+
+def _compact_key(o: Vec3, d: Vec3, ign, lo, hi, occlusion: bool = False):
     """Sort key for Morton compaction.  The ignored-prim id rides as the
     MAJOR bits: for NEE shadow queries it is the sampled light, so blocks
     separate perfectly into per-light clusters (a mixed block pays the
     union of both lights' occluder sets); for closest-hit calls it is
     constant (-1) and changes nothing.
 
-    The direction octant rides ABOVE the Morton bits by default
-    (oct_major): blocks then share a bounded direction cone (the union of
-    a block's traversal orders collapses), at the cost of weaker spatial
-    clustering — measured 476 vs 528 ms on the real 60%-live bounce-1
-    wave, equal on shadow waves (tools/prof26).  BUAS_COMPACT_KEY=morton
-    restores octant-minor for probes."""
-    mk = _morton_key(o, d, lo, hi)  # (morton18 << 3) | octant
-    if _os.environ.get("BUAS_COMPACT_KEY", "oct_major") == "oct_major":
-        mk = ((jnp.bitwise_and(mk, 7) << 18) | (mk >> 3))
+    Key layouts (BUAS_COMPACT_KEY; the default is per wave type, measured
+    on the real bounce-1 + NEE waves, tools/prof26: closest-hit 370 ms
+    m6d vs 483 oct_major vs 530 morton; occlusion 105 oct_major vs 113
+    m6d):
+      * ``m6d`` (closest-hit default) — 6D Morton, position+direction
+        interleaved (:func:`_key6d`): the per-block visited-row union is
+        HALVED vs the round-3a keys on the real bounce-1 wave
+        (tools/prof31 offline replay), worth 23% on-chip.
+      * ``oct_major`` (occlusion default) — direction octant above the
+        origin-Morton bits.  NOTE kept bit-exact to its round-3a form for
+        comparability: the octant lands on bits 18-20 and ORs into the
+        Morton's top bits (a 24-bit code), so it is really a hash of both.
+      * ``morton`` — origin Morton major, octant minor."""
+    mode = _os.environ.get("BUAS_COMPACT_KEY",
+                           "oct_major" if occlusion else "m6d")
+    if mode == "m6d":
+        mk = _key6d(o, d, lo, hi)
+    else:
+        mk = _morton_key(o, d, lo, hi)  # (morton24 << 3) | octant
+        if mode == "oct_major":
+            mk = ((jnp.bitwise_and(mk, 7) << 18) | (mk >> 3))
     return ((jnp.bitwise_and(ign.astype(jnp.int32) + 1, 0xF) << 27) | mk)
 
 
@@ -686,7 +732,8 @@ def traverse_dispatch(rows, scene_lo, scene_hi, o: Vec3, d: Vec3, t0,
         live = t0 >= 0.0
         key = jnp.where(live,
                         _compact_key(Vec3(ox, oy, oz), Vec3(dx, dy, dz),
-                                     ign, scene_lo, scene_hi),
+                                     ign, scene_lo, scene_hi,
+                                     occlusion=occlusion),
                         jnp.int32(0x7FFFFFFF))
         ids = jnp.argsort(key, stable=True)[:m * BLOCK]
         # pack -> one row gather (per-index latency dominates; 8 scalar

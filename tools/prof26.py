@@ -132,8 +132,8 @@ def primary_fn():
     return f
 
 
-for v1, key, force in (("1", "", "0"), ("0", "", "0"),
-                       ("0", "", "1"), ("0", "oct_major", "1")):
+for v1, key, force in (("0", "m6d", "1"), ("0", "oct_major", "1"),
+                       ("0", "", "1")):
     os.environ["BUAS_PACKET_V1"] = v1
     os.environ["BUAS_COMPACT_KEY"] = key
     os.environ["BUAS_FORCE_COMPACT"] = force
