@@ -18,6 +18,7 @@ traversal loop then runs in lockstep over ray batches with pure gathers.
 
 from __future__ import annotations
 
+import os
 from dataclasses import dataclass, field, replace
 from typing import List, NamedTuple, Optional
 
@@ -184,6 +185,14 @@ class PackedScene(NamedTuple):
     # env importance-sampling tables (ops/envmap.py); (1,) zeros if none
     env_cdf_marginal: jnp.ndarray  # (He+1,)
     env_cdf_conditional: jnp.ndarray  # (He, We+1)
+
+    # leaf-DMA split tables (pallas_packet._kernel_v4), built at pack time
+    # only when wide_rows exceeds the VMEM residence budget: internal+prim
+    # rows (with per-child encoded links in lanes 50..57) stay resident,
+    # leaf rows stream from HBM.  None for scenes that fit (None pytree
+    # leaves vanish, so the common case costs nothing).
+    v4_res: Optional[jnp.ndarray] = None  # (Ri, 64) f32
+    v4_leaf: Optional[jnp.ndarray] = None  # (L, 64) f32
 
     @property
     def n_lights(self) -> int:
@@ -439,7 +448,24 @@ class Scene:
             env_pixels=jnp.asarray(env),
             env_cdf_marginal=jnp.asarray(cdf_m),
             env_cdf_conditional=jnp.asarray(cdf_c),
+            **self._v4_split(wide),
         )
+
+    @staticmethod
+    def _v4_split(wide):
+        """Leaf-DMA split tables for scenes whose unified row table exceeds
+        the packet kernel's VMEM residence budget (BUAS_V4=1 forces the
+        split for tests; =0 disables).  Host-side numpy only."""
+        from ..ops import pallas_packet, wide_bvh
+        mode = os.environ.get("BUAS_V4", "")
+        rows_bytes = wide.rows.shape[0] * wide.rows.shape[1] * 4
+        want = mode == "1" or (
+            mode != "0" and rows_bytes > pallas_packet.VMEM_TABLE_LIMIT_BYTES)
+        if (not want or wide_bvh.WIDE != 8
+                or int(wide.rows[0, 0]) == wide_bvh.KIND_TRIS):
+            return {}
+        res, leaf = wide_bvh.split_for_dma(wide.rows)
+        return {"v4_res": jnp.asarray(res), "v4_leaf": jnp.asarray(leaf)}
 
     def _build_wide(self, prims, ptype, pfwd, pinv, pr, pboxr, pmesh):
         from ..ops import wide_bvh

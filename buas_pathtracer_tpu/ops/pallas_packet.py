@@ -261,6 +261,96 @@ def _kernel(rows_ref, ox, oy, oz, dx, dy, dz, t0r, ignr,
     so[0, 1] = so[0, 1] + tt
 
 
+def _child_keys(row, o, inv_d, t, active, occlusion: bool):
+    """Per-child block keys for an internal row: occlusion mode returns
+    any-hit booleans (order-free), closest-hit returns block-nearest float
+    keys (BIG_T*2 = no ray hits the child).  Shared by kernels v2/v4."""
+    keys = []
+    for c in range(WIDE):
+        s = 2 + 6 * c
+        t1x = (row[s + 0] - o.x) * inv_d.x
+        t2x = (row[s + 3] - o.x) * inv_d.x
+        t1y = (row[s + 1] - o.y) * inv_d.y
+        t2y = (row[s + 4] - o.y) * inv_d.y
+        t1z = (row[s + 2] - o.z) * inv_d.z
+        t2z = (row[s + 5] - o.z) * inv_d.z
+        tn = jnp.maximum(jnp.maximum(jnp.minimum(t1x, t2x),
+                                     jnp.minimum(t1y, t2y)),
+                         jnp.minimum(t1z, t2z))
+        tf = jnp.minimum(jnp.minimum(jnp.maximum(t1x, t2x),
+                                     jnp.maximum(t1y, t2y)),
+                         jnp.maximum(t1z, t2z))
+        hit_c = (tn < tf) & (tf > 0.0) & (tn < t) & active
+        if occlusion:
+            keys.append(jnp.any(hit_c))
+        else:
+            # ONE reduction per child: tmin == BIG_T iff no ray hit (tn < t
+            # <= BIG_T is strict), so the separate any() reduction — 8 more
+            # cross-lane reductions per iteration — is recomputed from it
+            tmin = jnp.min(jnp.where(hit_c, jnp.maximum(tn, 0.0), BIG_T))
+            keys.append(jnp.where(tmin < BIG_T, tmin,
+                                  jnp.float32(BIG_T * 2.0)))
+    return keys
+
+
+def _tri_updates(row, o, d, ign, active, t_l, prim_l, tri_l, bv_l, bw_l,
+                 occlusion: bool):
+    """Apply one triangle-leaf row to the per-ray best-hit state; returns
+    the updated state + the leaf's triangle count.  Shared by v2/v4."""
+    count = row[1].astype(jnp.int32)
+    tri_base = row[2].astype(jnp.int32)
+    inst_t = row[3].astype(jnp.int32)
+    not_ign = inst_t != ign
+    for k in range(WIDE_LEAF):
+        s = 8 + 9 * k
+        ax_, ay_, az_ = row[s], row[s + 1], row[s + 2]
+        e1x, e1y, e1z = row[s + 3], row[s + 4], row[s + 5]
+        e2x, e2y, e2z = row[s + 6], row[s + 7], row[s + 8]
+        pvx = d.y * e2z - d.z * e2y
+        pvy = d.z * e2x - d.x * e2z
+        pvz = d.x * e2y - d.y * e2x
+        det = e1x * pvx + e1y * pvy + e1z * pvz
+        ok = (det <= -intersect.TRI_EPS) | (det >= intersect.TRI_EPS)
+        inv_det = 1.0 / jnp.where(ok, det, 1.0)
+        tvx, tvy, tvz = o.x - ax_, o.y - ay_, o.z - az_
+        v_ = (tvx * pvx + tvy * pvy + tvz * pvz) * inv_det
+        ok = ok & (v_ >= 0.0) & (v_ <= 1.0)
+        qvx = tvy * e1z - tvz * e1y
+        qvy = tvz * e1x - tvx * e1z
+        qvz = tvx * e1y - tvy * e1x
+        w_ = (d.x * qvx + d.y * qvy + d.z * qvz) * inv_det
+        ok = ok & (w_ >= 0.0) & (v_ + w_ <= 1.0)
+        t_new = (e2x * qvx + e2y * qvy + e2z * qvz) * inv_det
+        ok = ok & (t_new >= intersect.TRI_EPS) & (t_l >= t_new)
+        h = ok & not_ign & active & (k < count)
+        t_l = jnp.where(h, t_new, t_l)
+        prim_l = jnp.where(h, inst_t, prim_l)
+        if not occlusion:
+            tri_l = jnp.where(h, tri_base + k, tri_l)
+            bv_l = jnp.where(h, v_, bv_l)
+            bw_l = jnp.where(h, w_, bw_l)
+    return t_l, prim_l, tri_l, bv_l, bw_l, count
+
+
+def _prim_updates(row, o, d, ign, active, t):
+    """Analytic prim row (sphere/box via inline inverse transform); returns
+    (hit mask, new t where hit, prim id).  Shared by v2/v4."""
+    prim_id = row[1].astype(jnp.int32)
+    ptype = row[2].astype(jnp.int32)
+    m = [row[4 + i] for i in range(12)]
+    os_o = Vec3(m[0] * o.x + m[1] * o.y + m[2] * o.z + m[3],
+                m[4] * o.x + m[5] * o.y + m[6] * o.z + m[7],
+                m[8] * o.x + m[9] * o.y + m[10] * o.z + m[11])
+    os_d = Vec3(m[0] * d.x + m[1] * d.y + m[2] * d.z,
+                m[4] * d.x + m[5] * d.y + m[6] * d.z,
+                m[8] * d.x + m[9] * d.y + m[10] * d.z)
+    sph = ptype == PRIM_SPHERE
+    hs, ts_ = intersect.sphere(os_o, os_d, row[16], t)
+    hb, tb_ = intersect.box(os_o, os_d, Vec3(row[17], row[18], row[19]), t)
+    ph = (prim_id != ign) & active & ((hs & sph) | (hb & ~sph))
+    return ph, jnp.where(sph, ts_, tb_), prim_id
+
+
 def _kernel_v2(rows_ref, ox, oy, oz, dx, dy, dz, t0r, ignr,
                *refs, occlusion: bool):
     """Uniform-branch packet walk (v2).
@@ -316,30 +406,7 @@ def _kernel_v2(rows_ref, ox, oy, oz, dx, dy, dz, t0r, ignr,
             def _internal():
                 child_base = row[1].astype(jnp.int32)
                 sp_i = sp_ref[0]
-                keys = []
-                for c in range(WIDE):
-                    s = 2 + 6 * c
-                    t1x = (row[s + 0] - o.x) * inv_d.x
-                    t2x = (row[s + 3] - o.x) * inv_d.x
-                    t1y = (row[s + 1] - o.y) * inv_d.y
-                    t2y = (row[s + 4] - o.y) * inv_d.y
-                    t1z = (row[s + 2] - o.z) * inv_d.z
-                    t2z = (row[s + 5] - o.z) * inv_d.z
-                    tn = jnp.maximum(jnp.maximum(jnp.minimum(t1x, t2x),
-                                                 jnp.minimum(t1y, t2y)),
-                                     jnp.minimum(t1z, t2z))
-                    tf = jnp.minimum(jnp.minimum(jnp.maximum(t1x, t2x),
-                                                 jnp.maximum(t1y, t2y)),
-                                     jnp.maximum(t1z, t2z))
-                    hit_c = (tn < tf) & (tf > 0.0) & (tn < t) & active
-                    anyh = jnp.any(hit_c)
-                    if occlusion:
-                        keys.append(anyh)
-                    else:
-                        tmin = jnp.min(jnp.where(hit_c, jnp.maximum(tn, 0.0),
-                                                 BIG_T))
-                        keys.append(jnp.where(anyh, tmin,
-                                              jnp.float32(BIG_T * 2.0)))
+                keys = _child_keys(row, o, inv_d, t, active, occlusion)
                 if occlusion:
                     # any order: push every hit child as-is
                     for c in range(WIDE):
@@ -366,44 +433,9 @@ def _kernel_v2(rows_ref, ox, oy, oz, dx, dy, dz, t0r, ignr,
 
             @pl.when(kind == KIND_TRIS)
             def _tris():
-                count = row[1].astype(jnp.int32)
-                tri_base = row[2].astype(jnp.int32)
-                inst_t = row[3].astype(jnp.int32)
-                not_ign = inst_t != ign
-                t_l = to[:]
-                prim_l = po[:]
-                tri_l = tro[:]
-                bv_l = bvo[:]
-                bw_l = bwo[:]
-                for k in range(WIDE_LEAF):
-                    s = 8 + 9 * k
-                    ax_, ay_, az_ = row[s], row[s + 1], row[s + 2]
-                    e1x, e1y, e1z = row[s + 3], row[s + 4], row[s + 5]
-                    e2x, e2y, e2z = row[s + 6], row[s + 7], row[s + 8]
-                    pvx = d.y * e2z - d.z * e2y
-                    pvy = d.z * e2x - d.x * e2z
-                    pvz = d.x * e2y - d.y * e2x
-                    det = e1x * pvx + e1y * pvy + e1z * pvz
-                    ok = (det <= -intersect.TRI_EPS) \
-                        | (det >= intersect.TRI_EPS)
-                    inv_det = 1.0 / jnp.where(ok, det, 1.0)
-                    tvx, tvy, tvz = o.x - ax_, o.y - ay_, o.z - az_
-                    v_ = (tvx * pvx + tvy * pvy + tvz * pvz) * inv_det
-                    ok = ok & (v_ >= 0.0) & (v_ <= 1.0)
-                    qvx = tvy * e1z - tvz * e1y
-                    qvy = tvz * e1x - tvx * e1z
-                    qvz = tvx * e1y - tvy * e1x
-                    w_ = (d.x * qvx + d.y * qvy + d.z * qvz) * inv_det
-                    ok = ok & (w_ >= 0.0) & (v_ + w_ <= 1.0)
-                    t_new = (e2x * qvx + e2y * qvy + e2z * qvz) * inv_det
-                    ok = ok & (t_new >= intersect.TRI_EPS) & (t_l >= t_new)
-                    h = ok & not_ign & active & (k < count)
-                    t_l = jnp.where(h, t_new, t_l)
-                    prim_l = jnp.where(h, inst_t, prim_l)
-                    if not occlusion:
-                        tri_l = jnp.where(h, tri_base + k, tri_l)
-                        bv_l = jnp.where(h, v_, bv_l)
-                        bw_l = jnp.where(h, w_, bw_l)
+                t_l, prim_l, tri_l, bv_l, bw_l, count = _tri_updates(
+                    row, o, d, ign, active, to[:], po[:], tro[:], bvo[:],
+                    bwo[:], occlusion)
                 if occlusion:
                     po[:] = prim_l
                 else:
@@ -417,23 +449,8 @@ def _kernel_v2(rows_ref, ox, oy, oz, dx, dy, dz, t0r, ignr,
 
             @pl.when(kind == KIND_PRIM)
             def _prim():
-                prim_id = row[1].astype(jnp.int32)
-                ptype = row[2].astype(jnp.int32)
-                m = [row[4 + i] for i in range(12)]
-                os_ox = m[0] * o.x + m[1] * o.y + m[2] * o.z + m[3]
-                os_oy = m[4] * o.x + m[5] * o.y + m[6] * o.z + m[7]
-                os_oz = m[8] * o.x + m[9] * o.y + m[10] * o.z + m[11]
-                os_dx = m[0] * d.x + m[1] * d.y + m[2] * d.z
-                os_dy = m[4] * d.x + m[5] * d.y + m[6] * d.z
-                os_dz = m[8] * d.x + m[9] * d.y + m[10] * d.z
-                os_o = Vec3(os_ox, os_oy, os_oz)
-                os_d = Vec3(os_dx, os_dy, os_dz)
-                sph = ptype == PRIM_SPHERE
-                hs, ts_ = intersect.sphere(os_o, os_d, row[16], t)
-                hb, tb_ = intersect.box(os_o, os_d,
-                                        Vec3(row[17], row[18], row[19]), t)
-                ph = (prim_id != ign) & active & ((hs & sph) | (hb & ~sph))
-                to[:] = jnp.where(ph, jnp.where(sph, ts_, tb_), t)
+                ph, tval, prim_id = _prim_updates(row, o, d, ign, active, t)
+                to[:] = jnp.where(ph, tval, t)
                 po[:] = jnp.where(ph, prim_id, po[:])
                 if not occlusion:
                     tro[:] = jnp.where(ph, -1, tro[:])
@@ -452,22 +469,189 @@ def _kernel_v2(rows_ref, ox, oy, oz, dx, dy, dz, t0r, ignr,
     # already does — dead lanes are never written)
 
 
+QS = 16   # v4 leaf DMA ring slots (power of two, >= 2 * WIDE)
+LAG = 4   # iterations a leaf copy stays in flight before its wait
+
+
+def _kernel_v4(res_ref, leaf_ref, ox, oy, oz, dx, dy, dz, t0r, ignr,
+               *refs, occlusion: bool):
+    """Leaf-DMA packet walk (v4) for tables too big to stay VMEM-resident.
+
+    The internal tree + analytic prims (wide_bvh.split_for_dma) stay
+    resident like v2 (~15% of the bytes); triangle-leaf rows live in HBM
+    and are DMA'd into a QS-slot VMEM ring when their parent's slab test
+    passes, nearest-first.  A queued leaf is consumed once its copy has
+    had >= LAG pop-iterations to land — or the stack is empty, or the
+    ring nears capacity (an internal node can enqueue up to WIDE more) —
+    so internal-node VPU work hides the copy latency.  Consuming leaves
+    between node pops only helps closest-hit pruning (their hits tighten
+    t early).  All control state (stack, ring head/tail, pending leaf
+    ids) is block-uniform SMEM scalars, the only control flow Mosaic
+    runs well; per-ray state lives in the output refs as in v2.
+
+    This is the explicit-DMA ray-stream design from docs/PERFORMANCE.md's
+    roadmap, unblocked when the remote compiler started accepting
+    ``make_async_copy`` (tools/prof27_dma.py).  It replaces the planned
+    bf16-quantized rows (round-2 verdict item 5): instead of halving the
+    resident table at some precision cost, the resident set shrinks ~7x
+    with hit results BIT-identical to v2/XLA.
+    """
+    to, po, tro, bvo, bwo, so, stack, st_ref, lq, slots, sems = refs
+    o = Vec3(ox[:], oy[:], oz[:])
+    d = Vec3(dx[:], dy[:], dz[:])
+    t_in = t0r[:]
+    ign = ignr[:].astype(jnp.int32)
+    inv_d = intersect.safe_inv_dir(d)
+    live0 = t_in >= 0.0
+    any_live = jnp.any(live0)
+
+    @pl.when(pl.program_id(0) == 0)
+    def _init_stats():
+        so[0, 0] = jnp.int32(0)
+        so[0, 1] = jnp.int32(0)
+
+    to[:] = t_in
+    po[:] = jnp.full((BS, BL), -1, jnp.int32)
+    tro[:] = jnp.full((BS, BL), -1, jnp.int32)
+    bvo[:] = jnp.zeros((BS, BL), jnp.float32)
+    bwo[:] = jnp.zeros((BS, BL), jnp.float32)
+
+    @pl.when(any_live)
+    def _walk():
+        def cond(pending):
+            return pending > 0
+
+        def body(_):
+            sp = st_ref[0]
+            qh = st_ref[1]
+            qt = st_ref[2]
+            inflight = qt - qh
+            do_leaf = (inflight > 0) & ((inflight >= LAG) | (sp <= 0)
+                                        | (inflight > QS - WIDE))
+            t = to[:]
+            if occlusion:
+                active = live0 & (po[:] < 0)
+            else:
+                active = live0
+            so[0, 0] = so[0, 0] + jnp.sum(active.astype(jnp.int32))
+
+            @pl.when(do_leaf)
+            def _leaf():
+                slot = jnp.bitwise_and(qh, QS - 1)
+                lidx = lq[slot]
+                pltpu.make_async_copy(leaf_ref.at[lidx], slots.at[slot],
+                                      sems.at[slot]).wait()
+                row = slots[slot]
+                t_l, prim_l, tri_l, bv_l, bw_l, count = _tri_updates(
+                    row, o, d, ign, active, to[:], po[:], tro[:], bvo[:],
+                    bwo[:], occlusion)
+                if occlusion:
+                    po[:] = prim_l
+                else:
+                    to[:] = t_l
+                    po[:] = prim_l
+                    tro[:] = tri_l
+                    bvo[:] = bv_l
+                    bwo[:] = bw_l
+                so[0, 1] = so[0, 1] + count \
+                    * jnp.sum(active.astype(jnp.int32))
+                st_ref[1] = qh + 1
+
+            @pl.when(~do_leaf)
+            def _node():
+                sp_i = sp - 1
+                cur = stack[sp_i]
+                row = res_ref[cur]
+                kind = row[0].astype(jnp.int32)
+                st_ref[0] = sp_i
+
+                @pl.when(kind == KIND_INTERNAL)
+                def _internal():
+                    keys = _child_keys(row, o, inv_d, t, active, occlusion)
+                    pays = [row[50 + c].astype(jnp.int32)
+                            for c in range(WIDE)]
+                    if occlusion:
+                        valid = keys
+                    else:
+                        for (i, j) in _SORT_PAIRS:
+                            swap = keys[i] > keys[j]
+                            ki = jnp.where(swap, keys[j], keys[i])
+                            kj = jnp.where(swap, keys[i], keys[j])
+                            pi = jnp.where(swap, pays[j], pays[i])
+                            pj = jnp.where(swap, pays[i], pays[j])
+                            keys[i], keys[j], pays[i], pays[j] = ki, kj, pi, pj
+                        valid = [k < BIG_T * 2.0 for k in keys]
+                    # enqueue leaf children nearest-FIRST (FIFO ring)
+                    for j in range(WIDE):
+                        okq = valid[j] & (pays[j] < 0)
+
+                        @pl.when(okq)
+                        def _start(enc=pays[j]):
+                            qt_i = st_ref[2]
+                            slot = jnp.bitwise_and(qt_i, QS - 1)
+                            lidx = -enc - 1
+                            lq[slot] = lidx
+                            pltpu.make_async_copy(
+                                leaf_ref.at[lidx], slots.at[slot],
+                                sems.at[slot]).start()
+                            st_ref[2] = qt_i + 1
+                    # push resident children farthest-first (LIFO stack)
+                    sp_w = st_ref[0]
+                    for j in range(WIDE - 1, -1, -1):
+                        okp = valid[j] & (pays[j] >= 0)
+                        idx = jnp.where(okp, sp_w, jnp.int32(STACK))
+                        stack[idx] = jnp.where(okp, pays[j], stack[idx])
+                        sp_w = sp_w + okp.astype(jnp.int32)
+                    st_ref[0] = sp_w
+
+                @pl.when(kind == KIND_PRIM)
+                def _prim():
+                    ph, tval, prim_id = _prim_updates(row, o, d, ign,
+                                                      active, t)
+                    to[:] = jnp.where(ph, tval, t)
+                    po[:] = jnp.where(ph, prim_id, po[:])
+                    if not occlusion:
+                        tro[:] = jnp.where(ph, -1, tro[:])
+
+            if occlusion:
+                # all live rays blocked: drop the stack; the ring still
+                # drains through do_leaf (waits are mandatory, the tri
+                # body is masked dead by then)
+                done = ~jnp.any(live0 & (po[:] < 0))
+
+                @pl.when(done)
+                def _cut():
+                    st_ref[0] = jnp.int32(0)
+
+            return st_ref[0] + (st_ref[2] - st_ref[1])
+
+        stack[0] = jnp.int32(0)
+        st_ref[0] = jnp.int32(1)  # sp
+        st_ref[1] = jnp.int32(0)  # ring head (next leaf to consume)
+        st_ref[2] = jnp.int32(0)  # ring tail (next free slot)
+        jax.lax.while_loop(cond, body, jnp.int32(1))
+
+
 def packet_traverse(rows, o: Vec3, d: Vec3, t0, ignored_prim,
-                    occlusion: bool = False, interpret: bool = False):
+                    occlusion: bool = False, interpret: bool = False,
+                    v4_tables=None):
     """Block-coherent traversal over the whole flat ray batch.
 
     The kernel version is resolved from ``BUAS_PACKET_V1`` HERE, at trace
     time, and forwarded as a jit-STATIC argument: reading the env inside the
     traced body would be frozen into the first-traced jaxpr and silently
-    ignored on later flips (the inner jit cache keys on avals, not env)."""
+    ignored on later flips (the inner jit cache keys on avals, not env).
+    ``v4_tables=(res_rows, leaf_rows)`` selects the leaf-DMA kernel for
+    tables too big to keep VMEM-resident (the structure difference keys
+    the jit cache)."""
     v2 = _os.environ.get("BUAS_PACKET_V1", "0") != "1"
-    return _packet_traverse(rows, o, d, t0, ignored_prim,
+    return _packet_traverse(rows, v4_tables, o, d, t0, ignored_prim,
                             occlusion=occlusion, interpret=interpret, v2=v2)
 
 
 @functools.partial(jax.jit,
                    static_argnames=("occlusion", "interpret", "v2"))
-def _packet_traverse(rows, o: Vec3, d: Vec3, t0, ignored_prim,
+def _packet_traverse(rows, v4_tables, o: Vec3, d: Vec3, t0, ignored_prim,
                      occlusion: bool = False, interpret: bool = False,
                      v2: bool = True):
     """Jitted body of :func:`packet_traverse`.
@@ -497,6 +681,37 @@ def _packet_traverse(rows, o: Vec3, d: Vec3, t0, ignored_prim,
         jax.ShapeDtypeStruct((nb, BS, BL), dt)
         for dt in (jnp.float32, jnp.int32, jnp.int32, jnp.float32,
                    jnp.float32)) + (jax.ShapeDtypeStruct((1, 2), jnp.int32),)
+    if v4_tables is not None:
+        res_rows, leaf_rows = v4_tables
+        grid_spec = pltpu.PrefetchScalarGridSpec(
+            num_scalar_prefetch=0,
+            grid=(nb,),
+            # resident internal tree in VMEM; leaf rows stay in HBM and
+            # are DMA'd on demand by the kernel
+            in_specs=[pl.BlockSpec(memory_space=pltpu.VMEM),
+                      pl.BlockSpec(memory_space=pl.ANY)]
+            + [blk() for _ in range(8)],
+            out_specs=[blk() for _ in range(5)]
+            + [pl.BlockSpec(memory_space=pltpu.SMEM)],
+            scratch_shapes=[
+                pltpu.SMEM((STACK + 1,), jnp.int32),   # node stack
+                pltpu.SMEM((4,), jnp.int32),           # sp, qh, qt
+                pltpu.SMEM((QS,), jnp.int32),          # pending leaf ids
+                pltpu.VMEM((QS, int(leaf_rows.shape[1])), jnp.float32),
+                pltpu.SemaphoreType.DMA((QS,)),
+            ],
+        )
+        outs = pl.pallas_call(
+            functools.partial(_kernel_v4, occlusion=occlusion),
+            out_shape=out_shapes,
+            grid_spec=grid_spec,
+            interpret=interpret,
+            compiler_params=pltpu.CompilerParams(
+                vmem_limit_bytes=48 * 1024 * 1024),
+        )(res_rows, leaf_rows, *args)
+        t, prim, tri, bv, bw = (x.reshape(-1)[:n] for x in outs[:5])
+        return t, prim, tri, bv, bw, outs[5][0, 0], outs[5][0, 1]
+
     grid_spec = pltpu.PrefetchScalarGridSpec(
         num_scalar_prefetch=0,
         grid=(nb,),
@@ -579,12 +794,39 @@ def enabled_for(rows, depth: int) -> bool:
     mode = _mode()
     if mode == "packet":
         return True
-    if mode in ("wide", "threaded"):
+    if mode in ("wide", "threaded", "packet4"):
         return False
     # the axon tunnel reports backend "axon" for the real TPU chip
     return (jax.default_backend() in ("tpu", "axon")
             and int(rows.shape[0]) * int(rows.shape[1]) * 4
             <= VMEM_TABLE_LIMIT_BYTES)
+
+
+def v4_tables_for(ps, depth: int):
+    """Returns ``(res_rows, leaf_rows)`` when the leaf-DMA kernel should
+    take this scene — the unified table is too big for residence but the
+    split internal tree fits — else None.  The resident v2 kernel wins
+    when the whole table fits, so it takes priority (enabled_for).
+    ``BUAS_TRAVERSAL=packet4`` forces this path (tests, interpret mode)."""
+    v4 = getattr(ps, "v4_res", None)
+    if v4 is None or not stack_fits(depth):
+        return None
+    tables = (ps.v4_res, ps.v4_leaf)
+    mode = _mode()
+    if mode == "packet4":
+        return tables
+    if mode in ("wide", "threaded", "packet"):
+        return None
+    if jax.default_backend() not in ("tpu", "axon"):
+        return None
+    rows = ps.wide_rows
+    if (int(rows.shape[0]) * int(rows.shape[1]) * 4
+            <= VMEM_TABLE_LIMIT_BYTES):
+        return None  # fully-resident kernel is faster
+    if (int(ps.v4_res.shape[0]) * int(ps.v4_res.shape[1]) * 4
+            > VMEM_TABLE_LIMIT_BYTES):
+        return None  # even the internal tree alone will not fit
+    return tables
 
 
 def _morton_key(o: Vec3, d: Vec3, lo, hi):
@@ -677,6 +919,39 @@ def _compact_key(o: Vec3, d: Vec3, ign, lo, hi, occlusion: bool = False):
     return ((jnp.bitwise_and(ign.astype(jnp.int32) + 1, 0xF) << 27) | mk)
 
 
+def root_prefilter(rows, o: Vec3, d: Vec3, t0):
+    """Vectorized any-root-child slab test: rays that hit NO child of the
+    root are proven misses before compaction (identical test to the
+    kernel's first pop, so dropping them is EXACT).  On the real bounce-1
+    diffuse wave this kills 66% of the live rays (tools/prof35 — half the
+    wave's rays only ever touch the root, prof31 p50=1), which shrinks the
+    compacted prefix ~3x.  The iteration count barely moves (sky rays
+    never drove the block unions) — the win is the compaction DATA
+    MOVEMENT, which prof34 showed dominates mid-liveness waves.  ~160
+    vector ops per ray, trivially fused by XLA."""
+    row = rows[0]
+    kind = row[0].astype(jnp.int32)
+    inv_d = intersect.safe_inv_dir(d)
+    any_hit = jnp.zeros_like(t0, jnp.bool_)
+    for c in range(WIDE):
+        s = 2 + 6 * c
+        t1x = (row[s + 0] - o.x) * inv_d.x
+        t2x = (row[s + 3] - o.x) * inv_d.x
+        t1y = (row[s + 1] - o.y) * inv_d.y
+        t2y = (row[s + 4] - o.y) * inv_d.y
+        t1z = (row[s + 2] - o.z) * inv_d.z
+        t2z = (row[s + 5] - o.z) * inv_d.z
+        tn = jnp.maximum(jnp.maximum(jnp.minimum(t1x, t2x),
+                                     jnp.minimum(t1y, t2y)),
+                         jnp.minimum(t1z, t2z))
+        tf = jnp.minimum(jnp.minimum(jnp.maximum(t1x, t2x),
+                                     jnp.maximum(t1y, t2y)),
+                         jnp.maximum(t1z, t2z))
+        any_hit = any_hit | ((tn < tf) & (tf > 0.0) & (tn < t0))
+    # non-internal roots (single-prim scenes) can't be prefiltered
+    return jnp.where(kind == KIND_INTERNAL, any_hit, True)
+
+
 def block_coherence(d: Vec3, t0):
     """Mean resultant length of the live directions within (8,128) blocks —
     ~1.0 for primary/shadow fans, ~0.3 for diffuse bounce fans.  One cheap
@@ -694,7 +969,8 @@ def block_coherence(d: Vec3, t0):
 
 
 def traverse_dispatch(rows, scene_lo, scene_hi, o: Vec3, d: Vec3, t0,
-                      ignored_prim, occlusion: bool, interpret: bool = False):
+                      ignored_prim, occlusion: bool, interpret: bool = False,
+                      v4_tables=None):
     """packet_traverse with a runtime coherence/liveness policy.
 
     The caller generates rays in pixel-tile order, so COHERENT wavefronts
@@ -710,10 +986,9 @@ def traverse_dispatch(rows, scene_lo, scene_hi, o: Vec3, d: Vec3, t0,
     compact_n = COMPACT_BLOCKS * BLOCK
     if n <= compact_n:
         return packet_traverse(rows, o, d, t0, ignored_prim,
-                               occlusion=occlusion, interpret=interpret)
+                               occlusion=occlusion, interpret=interpret,
+                               v4_tables=v4_tables)
 
-    live = t0 >= 0.0
-    n_live = jnp.sum(live.astype(jnp.int32))
     coh = block_coherence(d, t0)
 
     args = (o.x, o.y, o.z, d.x, d.y, d.z, t0,
@@ -723,14 +998,15 @@ def traverse_dispatch(rows, scene_lo, scene_hi, o: Vec3, d: Vec3, t0,
         ox, oy, oz, dx, dy, dz, t0, ign = args
         return packet_traverse(rows, Vec3(ox, oy, oz), Vec3(dx, dy, dz),
                                t0, _i32e(ign), occlusion=occlusion,
-                               interpret=interpret)
+                               interpret=interpret, v4_tables=v4_tables)
 
-    def morton(args, m):
-        """Morton-compact the live rays to the first m blocks, walk, and
-        scatter the results back."""
+    def morton(args, m, live_mask):
+        """Morton-compact the masked-live rays to the first m blocks, walk,
+        and scatter the results back.  Rays outside ``live_mask`` (dead
+        lanes AND prefilter-proven misses) sort last and keep the default
+        miss outputs."""
         ox, oy, oz, dx, dy, dz, t0, ign = args
-        live = t0 >= 0.0
-        key = jnp.where(live,
+        key = jnp.where(live_mask,
                         _compact_key(Vec3(ox, oy, oz), Vec3(dx, dy, dz),
                                      ign, scene_lo, scene_hi,
                                      occlusion=occlusion),
@@ -752,7 +1028,7 @@ def traverse_dispatch(rows, scene_lo, scene_hi, o: Vec3, d: Vec3, t0,
         out = packet_traverse(rows, Vec3(bT[0], bT[1], bT[2]),
                               Vec3(bT[3], bT[4], bT[5]), bT[6],
                               _i32e(bT[7]), occlusion=occlusion,
-                              interpret=interpret)
+                              interpret=interpret, v4_tables=v4_tables)
 
         def back(col, default):
             return default.at[ids].set(col, unique_indices=True)
@@ -771,11 +1047,31 @@ def traverse_dispatch(rows, scene_lo, scene_hi, o: Vec3, d: Vec3, t0,
     n_blocks = n // BLOCK + (1 if n % BLOCK else 0)
 
     def incoherent(args):
-        return jax.lax.cond(
-            n_live <= compact_n,
-            lambda a: morton(a, COMPACT_BLOCKS),
-            lambda a: morton(a, n_blocks),
-            args)
+        # Root prefilter: prove the hit-nothing rays (66% of a real diffuse
+        # bounce wave, tools/prof35) missed BEFORE moving any data; they
+        # keep the default miss outputs.  Identical slab test to the
+        # kernel's first pop — exact.
+        ox, oy, oz, dx, dy, dz, t0a, _ = args
+        live_r = (t0a >= 0.0) & root_prefilter(
+            rows, Vec3(ox, oy, oz), Vec3(dx, dy, dz), t0a)
+        nl = jnp.sum(live_r.astype(jnp.int32))
+        # Ladder of STATIC compact sizes.  The compaction's data movement
+        # (argsort + (m,8) row gather + MXU transposes + scalar scatters)
+        # scales with the gathered prefix m, and it DOMINATES mid-liveness
+        # occlusion waves: the real bounce-0 NEE wave walks only ~70k
+        # block-iterations (~24 ms kernel, tools/prof34 offline replay) of
+        # its measured ~96 ms — the rest was moving all 2047 blocks when
+        # only ~1000 were live.  Pick the smallest rung that holds the
+        # (prefiltered) live count; the full batch stays as the fallback.
+        rungs = [m for m in (COMPACT_BLOCKS, 4 * COMPACT_BLOCKS,
+                             (11 * COMPACT_BLOCKS) // 2)
+                 if m < n_blocks]
+        branches = [(lambda a, m=m: morton(a, m, live_r)) for m in rungs]
+        branches.append(lambda a: morton(a, n_blocks, live_r))
+        if len(branches) == 1:
+            return branches[0](args)
+        idx = sum((nl > m * BLOCK).astype(jnp.int32) for m in rungs)
+        return jax.lax.switch(idx, branches, args)
 
     if _os.environ.get("BUAS_FORCE_COMPACT", "") == "1":  # probe knob
         return incoherent(args)

@@ -359,41 +359,45 @@ def _traverse(ps: PackedScene, o: Vec3, d: Vec3, t0, ignored_prim,
     n = int(t0.shape[0])
 
     # Routing policy (measured IN-FRAME, bench_A vs bench_r3b at 1080p):
-    # the Pallas packet kernel takes EVERY wave.  Standalone wave probes
-    # (tools/prof26+29) said the phased XLA pipeline wins incoherent
-    # closest-hit 2.4x (202 ms vs 476 at 60% live), but routing the frame's
-    # diffuse bounces to it (a lax.cond on measured block coherence)
-    # REGRESSED the full frame 1079 -> 2575 ms: the XLA path's per-chunk
-    # lockstep cost is roughly liveness-independent (~200 ms/wave at 2M
-    # lanes), so every sparse late bounce that the compacted packet path
-    # finishes in ~10 ms paid it.  A liveness-aware cond would still pay
-    # the dual-path compile and the probe numbers do not reproduce
-    # in-frame (the real bounce waves are more coherent than the probe's
-    # synthetic fan after oct_major compaction).  BUAS_INCOHERENT=xla
-    # opts the cond back in for experiments.
+    # the Pallas packet kernel takes EVERY wave by default.  Standalone
+    # probes (tools/prof26+29) say the phased XLA pipeline wins DENSE
+    # incoherent closest-hit (202 ms vs 370 at 60% live), but round 3a's
+    # cond on coherence alone REGRESSED the frame 1079 -> 2575 ms: every
+    # sparse late bounce (which the compacted packet path finishes in
+    # ~10 ms) paid the XLA path's ~200 ms liveness-independent full-batch
+    # cost.  BUAS_INCOHERENT=xla opts in the refined cond below, which
+    # routes to XLA only waves that are BOTH incoherent (diffuse fans)
+    # AND too live for the compact packet path.
     from . import pallas_packet as pp
-    if pp.enabled_for(rows, depth):
+    use_packet = pp.enabled_for(rows, depth)
+    v4 = None if use_packet else pp.v4_tables_for(ps, depth)
+    if use_packet or v4 is not None:
         interp = pp.interpret_mode()
         if (occlusion or n <= pp.COMPACT_BLOCKS * pp.BLOCK
                 or os.environ.get("BUAS_INCOHERENT", "packet") != "xla"):
             return pp.traverse_dispatch(rows, ps.scene_lo, ps.scene_hi,
                                         o, d, t0, ignored_prim, occlusion,
-                                        interpret=interp)
+                                        interpret=interp, v4_tables=v4)
         args = (o.x, o.y, o.z, d.x, d.y, d.z, t0, ignored_prim)
 
-        def coherent(a):
-            return pp.packet_traverse(
-                rows, Vec3(a[0], a[1], a[2]), Vec3(a[3], a[4], a[5]),
-                a[6], a[7], occlusion=False, interpret=interp)
+        def packet(a):
+            return pp.traverse_dispatch(rows, ps.scene_lo, ps.scene_hi,
+                                        Vec3(a[0], a[1], a[2]),
+                                        Vec3(a[3], a[4], a[5]), a[6],
+                                        _i32(a[7]), occlusion=False,
+                                        interpret=interp, v4_tables=v4)
 
-        def incoherent(a):
+        def xla(a):
             return _traverse_xla(ps, rows, depth,
                                  Vec3(a[0], a[1], a[2]),
-                                 Vec3(a[3], a[4], a[5]), a[6], a[7],
+                                 Vec3(a[3], a[4], a[5]), a[6], _i32(a[7]),
                                  occlusion=False)
 
         coh = pp.block_coherence(d, t0)
-        return jax.lax.cond(coh > 0.9, coherent, incoherent, args)
+        n_live = jnp.sum((t0 >= 0.0).astype(jnp.int32))
+        dense_incoherent = (coh <= 0.9) \
+            & (n_live > pp.COMPACT_BLOCKS * pp.BLOCK)
+        return jax.lax.cond(dense_incoherent, xla, packet, args)
 
     return _traverse_xla(ps, rows, depth, o, d, t0, ignored_prim, occlusion)
 

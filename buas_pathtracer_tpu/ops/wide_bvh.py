@@ -92,6 +92,58 @@ def _f(i: int) -> np.float32:
     return np.float32(i)
 
 
+def split_for_dma(rows: np.ndarray):
+    """Split the unified row table for the leaf-DMA packet kernel (v4).
+
+    Big scenes cannot keep the whole table VMEM-resident
+    (pallas_packet.VMEM_TABLE_LIMIT_BYTES), but ~85% of the bytes are
+    triangle-leaf rows, visited far less often than the internal tree.  v4
+    keeps a RESIDENT table of internal + analytic-prim (+ empty) rows in
+    VMEM and streams leaf rows from HBM through a small double-buffered
+    DMA ring (the explicit-DMA design from docs/PERFORMANCE.md's roadmap,
+    unblocked in round 3 when the remote compiler started accepting
+    ``make_async_copy`` — tools/prof27_dma.py).
+
+    Internal rows get per-child ENCODED links in lanes 50+c (free in the
+    8-wide layout): resident child -> its resident index, leaf child ->
+    ``-(leaf_index + 1)``.  Both are exact float values (< 2^23).  Lane 1
+    (the unified child_base) is preserved for the other kernels.
+
+    Returns ``(res_rows, leaf_rows)`` float32 arrays; requires WIDE == 8
+    (lane space) and an internal/prim root.
+    """
+    assert WIDE == 8, "v4 split needs the free lanes of the 8-wide layout"
+    assert rows.shape[0] < (1 << 23)
+    kind = rows[:, 0].astype(np.int32)
+    is_leaf = kind == KIND_TRIS
+    is_empty = kind == KIND_EMPTY
+    # EMPTY rows are 8-child alloc padding (the stress scene carries 131k
+    # of them = 44 MB!); their degenerate boxes never pass a slab test so
+    # they are never pushed — drop them from the resident table and point
+    # their enc links at row 0 (never read)
+    keep = (~is_leaf) & (~is_empty)
+    res_ids = np.cumsum(keep) - 1
+    leaf_ids = np.cumsum(is_leaf) - 1
+    res_rows = rows[keep].copy()
+    leaf_rows = rows[is_leaf].copy()
+    if leaf_rows.shape[0] == 0:
+        leaf_rows = np.zeros((1, rows.shape[1]), np.float32)
+    if leaf_rows.shape[1] < 128:
+        # the kernel DMAs single leaf rows out of HBM, and Mosaic requires
+        # HBM slices 128-aligned in the minor dimension (observed on v5e:
+        # "Slice shape along dimension 1 must be aligned to tiling (128)")
+        # — pad the streamed table to 128 floats per row
+        leaf_rows = np.pad(leaf_rows,
+                           ((0, 0), (0, 128 - leaf_rows.shape[1])))
+    assert not is_leaf[0], "v4 needs an internal/prim root"
+    internal = np.nonzero(kind == KIND_INTERNAL)[0]
+    ch = rows[internal, 1].astype(np.int64)[:, None] + np.arange(WIDE)
+    enc = np.where(is_leaf[ch], -(leaf_ids[ch] + 1),
+                   np.where(is_empty[ch], 0, res_ids[ch]))
+    res_rows[res_ids[internal], 50:50 + WIDE] = enc.astype(np.float32)
+    return res_rows, leaf_rows
+
+
 def _transform_points(fwd: np.ndarray, p: np.ndarray) -> np.ndarray:
     """fwd (3,4) applied to p (...,3)."""
     return p @ fwd[:, :3].T + fwd[:, 3]

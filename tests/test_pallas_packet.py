@@ -161,6 +161,59 @@ def test_hybrid_route_parity(scene, monkeypatch, incoherent):
     np.testing.assert_array_equal(np.asarray(out[2]), np.asarray(ref[2]))
 
 
+@pytest.mark.parametrize("case", CASES)
+@pytest.mark.parametrize("occlusion", [False, True])
+def test_v4_leaf_dma_parity(scene, monkeypatch, case, occlusion):
+    """The leaf-DMA kernel (v4: resident internal tree, HBM leaf rows
+    streamed through the DMA ring) must find the same hits as the XLA
+    phased path.  BUAS_V4=1 forces the pack-time table split so a small
+    scene exercises it; interpret mode executes the DMA copies eagerly."""
+    monkeypatch.setenv("BUAS_V4", "1")
+    ps = scene.pack()
+    assert ps.v4_res is not None and ps.v4_leaf is not None
+    n = 2048
+    o, d, t0, ign = _rays(scene, n, seed=21, **case)
+    if occlusion:
+        t0 = jnp.where(t0 > 0, 6.0, t0)
+    ref = tw._traverse(ps, o, d, t0, ign, occlusion=occlusion)
+    out = pp.packet_traverse(ps.wide_rows, o, d, t0, ign,
+                             occlusion=occlusion, interpret=True,
+                             v4_tables=(ps.v4_res, ps.v4_leaf))
+    if occlusion:
+        np.testing.assert_array_equal(np.asarray(out[1]) >= 0,
+                                      np.asarray(ref[1]) >= 0)
+        return
+    np.testing.assert_allclose(np.asarray(out[0]), np.asarray(ref[0]),
+                               rtol=1e-5, atol=1e-5)
+    np.testing.assert_array_equal(np.asarray(out[1]), np.asarray(ref[1]))
+    np.testing.assert_array_equal(np.asarray(out[2]), np.asarray(ref[2]))
+    mesh = np.asarray(ref[2]) >= 0
+    np.testing.assert_allclose(np.asarray(out[3])[mesh],
+                               np.asarray(ref[3])[mesh],
+                               rtol=1e-4, atol=1e-5)
+    np.testing.assert_allclose(np.asarray(out[4])[mesh],
+                               np.asarray(ref[4])[mesh],
+                               rtol=1e-4, atol=1e-5)
+
+
+def test_v4_routing(scene, monkeypatch):
+    """BUAS_TRAVERSAL=packet4 routes _traverse through the v4 kernel end to
+    end (dispatch compaction included) and agrees with the XLA path."""
+    monkeypatch.setenv("BUAS_V4", "1")
+    monkeypatch.setenv("BUAS_TRAVERSAL", "packet4")
+    monkeypatch.setenv("BUAS_PACKET_INTERPRET", "1")
+    ps = scene.pack()
+    n = 4096
+    o, d, t0, ign = _rays(scene, n, seed=23, incoherent=True, dead_frac=0.3)
+    out = tw._traverse(ps, o, d, t0, ign, occlusion=False)
+    monkeypatch.setenv("BUAS_TRAVERSAL", "wide")
+    ref = tw._traverse(ps, o, d, t0, ign, occlusion=False)
+    np.testing.assert_allclose(np.asarray(out[0]), np.asarray(ref[0]),
+                               rtol=1e-5, atol=1e-5)
+    np.testing.assert_array_equal(np.asarray(out[1]), np.asarray(ref[1]))
+    np.testing.assert_array_equal(np.asarray(out[2]), np.asarray(ref[2]))
+
+
 def test_dispatch_natural_branch_parity(scene):
     """Dense wavefronts take the natural-order branch."""
     ps = scene.pack()
