@@ -51,6 +51,38 @@ def build_bench_scene(w, h):
     return sc
 
 
+def build_stress_scene(w, h):
+    """655k-triangle scale scene (two 327k-tri icosphere instances): the
+    wide table (77 MB) exceeds the packet kernel's VMEM residence budget,
+    so this exercises the v4 leaf-DMA path end to end.  BENCH_SCENE=stress
+    selects it (960x540, 6 bounces by default via env)."""
+    from buas_pathtracer_tpu.core import vec
+    from buas_pathtracer_tpu.models import camera as cm
+    from buas_pathtracer_tpu.models.scene import Scene, SceneSettings
+    from buas_pathtracer_tpu.utils.procgen import icosphere
+
+    sc = Scene(name="stress")
+    grey = sc.add_diffuse_material((0.6, 0.6, 0.6), 1.2)
+    red = sc.add_diffuse_material((0.75, 0.25, 0.2), 1.4)
+    light = sc.add_emissive_material((60.0, 60.0, 55.0))
+    mesh = icosphere(subdivisions=7)  # 327,680 triangles
+    sc.add_mesh(grey, mesh, vec.translate([-2.2, 2.0, 0]) * vec.scale(2.0))
+    sc.add_mesh(red, mesh, vec.translate([2.2, 1.5, 1.0]) * vec.scale(1.5))
+    sc.add_box(grey, (20, 1, 20), vec.translate([0, -1.0, 0]))
+    sc.add_sphere(light, 1.5, vec.translate([0, 12.0, 4]))
+    cam = cm.make_camera(p=(0, 3.5, -9), vfov=np.radians(50), aspect=w / h)
+    sc.camera = cm.aim_camera_at(cam, (0, 1.8, 0))
+    sc.settings = SceneSettings(max_bounce_count=6, samples_per_pixel=1,
+                                integrator="Advanced Pathtracer")
+    return sc
+
+
+def build_scene(w, h):
+    if os.environ.get("BENCH_SCENE", "") == "stress":
+        return build_stress_scene(w, h)
+    return build_bench_scene(w, h)
+
+
 def closest_hit_main():
     """BENCH_MODE=closest_hit: primary-ray closest-hit throughput through
     the production traversal path (the hardware-facing headline number,
@@ -64,7 +96,7 @@ def closest_hit_main():
     from buas_pathtracer_tpu.ops import traverse_wide as tw
     from buas_pathtracer_tpu.runtime.render import _tiled
 
-    sc = build_bench_scene(w, h)
+    sc = build_scene(w, h)
     ps = sc.pack()
     n = w * h
     py_, px_ = jnp.meshgrid(jnp.arange(h, dtype=jnp.int32),
@@ -122,7 +154,7 @@ def main():
     from buas_pathtracer_tpu.runtime import film
     from buas_pathtracer_tpu.runtime.render import render_frame
 
-    sc = build_bench_scene(w, h)
+    sc = build_scene(w, h)
     from dataclasses import replace
     if spp != 1:
         sc.settings = replace(sc.settings, samples_per_pixel=spp)
