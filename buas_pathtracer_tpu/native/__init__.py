@@ -119,7 +119,8 @@ def _load():
         lib.obj_release.argtypes = [ctypes.c_void_p]
         lib.wide_collapse.restype = ctypes.c_void_p
         lib.wide_collapse.argtypes = [
-            f32p, f32p, i32p, i32p, ctypes.c_int32, f32p, f32p, f32p,
+            f32p, f32p, i32p, i32p, ctypes.c_int32, ctypes.c_int32,
+            f32p, f32p, f32p,
             ctypes.c_int32, ctypes.c_int32, ctypes.c_int32, ctypes.c_float,
             ctypes.c_int32, ctypes.c_int32,
             ctypes.POINTER(ctypes.c_int32), ctypes.POINTER(ctypes.c_int32)]
@@ -241,7 +242,7 @@ def wide_collapse_native(world_lo, world_hi, left_first, count, root: int,
         np.ascontiguousarray(world_hi, np.float32),
         np.ascontiguousarray(left_first, np.int32),
         np.ascontiguousarray(count, np.int32),
-        int(root),
+        int(len(count)), int(root),
         np.ascontiguousarray(tri_a, np.float32),
         np.ascontiguousarray(tri_e1, np.float32),
         np.ascontiguousarray(tri_e2, np.float32),

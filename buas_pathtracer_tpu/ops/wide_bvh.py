@@ -157,6 +157,32 @@ def _transform_aabbs(fwd: np.ndarray, lo: np.ndarray, hi: np.ndarray):
     return w.min(axis=0), w.max(axis=0)
 
 
+def _subtree_ranges(b: "bvh_mod.BuildNodes"):
+    """Per-node (first, count) of the subtree's leaf-ordered triangle range
+    (contiguous by construction).  Iterative post-order: builder trees can
+    be deep on degenerate input."""
+    n = len(b.count)
+    sf = np.zeros(n, np.int64)
+    sc = np.zeros(n, np.int64)
+    order = []
+    st = [0]
+    while st:
+        nd = st.pop()
+        order.append(nd)
+        if b.count[nd] == 0:
+            st.append(int(b.left_first[nd]))
+            st.append(int(b.left_first[nd]) + 1)
+    for nd in reversed(order):
+        if b.count[nd] > 0:
+            sf[nd] = b.left_first[nd]
+            sc[nd] = b.count[nd]
+        else:
+            l = int(b.left_first[nd])
+            sf[nd] = min(sf[l], sf[l + 1])
+            sc[nd] = sc[l] + sc[l + 1]
+    return sf, sc
+
+
 class _Inst:
     """One mesh instance: world AABBs per binary node + world triangles."""
 
@@ -167,6 +193,9 @@ class _Inst:
         self.tri_base = tri_base
         self.lo, self.hi = _transform_aabbs(fwd, bnodes.lo, bnodes.hi)
         self.sa = _sa(self.lo, self.hi)
+        # leaf-merge support: subtrees whose total fits one row terminate
+        # as ONE full leaf (python fallback of the native collapse policy)
+        self.sub_first, self.sub_count = _subtree_ranges(bnodes)
 
 
 def _sa(lo, hi):
@@ -301,7 +330,9 @@ def build_wide_scene(
             if ref[0] == "i":
                 return True  # item lists split until singular
             if ref[0] == "m":
-                return ref[1].b.count[ref[2]] == 0
+                # subtrees that fit one leaf row terminate merged
+                return (ref[1].b.count[ref[2]] == 0
+                        and ref[1].sub_count[ref[2]] > WIDE_LEAF)
             return False
 
         def children(ref):
@@ -321,6 +352,8 @@ def build_wide_scene(
                 return tlas.lo[ref[1]], tlas.hi[ref[1]]
             if ref[0] == "m":
                 return ref[1].lo[ref[2]], ref[1].hi[ref[2]]
+            if ref[0] == "c":  # packed chunk row: own union AABB
+                return ref[4], ref[5]
             if ref[0] == "i":
                 js = [real_prims.index(pi) for pi in ref[1]]
                 return item_lo[js].min(axis=0), item_hi[js].max(axis=0)
@@ -331,20 +364,8 @@ def build_wide_scene(
             lo, hi = aabb_of(ref)
             return float(_sa(lo, hi))
 
-        def fill_terminal(ref, idx):
+        def fill_leaf_range(inst, first, cnt, idx):
             row = rows[idx]
-            if ref[0] == "p":
-                pi = ref[1]
-                row[0] = _f(KIND_PRIM)
-                row[1] = _f(int(pi))
-                row[2] = _f(int(prim_type[pi]))
-                row[4:16] = prim_inv[pi].reshape(12)
-                row[16] = prim_r[pi]
-                row[17:20] = prim_box_r[pi]
-                return 1
-            inst, node = ref[1], ref[2]
-            cnt = int(inst.b.count[node])
-            first = int(inst.b.left_first[node])
             # builders guarantee leaves <= WIDE_LEAF (forced median split on
             # degenerate/early-out ranges); an oversized leaf here would
             # silently drop triangles, so fail loudly.
@@ -363,6 +384,72 @@ def build_wide_scene(
                 row[s + 3:s + 6] = e1[k]
                 row[s + 6:s + 9] = e2[k]
             return 1
+
+        def fill_terminal(ref, idx):
+            row = rows[idx]
+            if ref[0] == "p":
+                pi = ref[1]
+                row[0] = _f(KIND_PRIM)
+                row[1] = _f(int(pi))
+                row[2] = _f(int(prim_type[pi]))
+                row[4:16] = prim_inv[pi].reshape(12)
+                row[16] = prim_r[pi]
+                row[17:20] = prim_box_r[pi]
+                return 1
+            inst, node = ref[1], ref[2]
+            # merged terminal: the whole subtree's contiguous range (equals
+            # the node's own leaf range when the node IS a leaf)
+            return fill_leaf_range(inst, int(inst.sub_first[node]),
+                                   int(inst.sub_count[node]), idx)
+
+        def chunk_groups_m(inst, node):
+            """Balanced range chunking of a small mesh subtree (mirror of
+            the native collapse policy): the contiguous leaf-ordered range
+            cut into ceil(T/WIDE_LEAF) near-equal rows with AABBs
+            recomputed from the triangles; returns [(first, cnt, lo, hi)]
+            or None when they would not fit one wide node."""
+            T = int(inst.sub_count[node])
+            first = int(inst.sub_first[node])
+            ng = -(-T // WIDE_LEAF)
+            if ng > WIDE:
+                return None
+            base, extra = T // ng, T % ng
+            k_inst = insts.index(inst)
+            groups = []
+            cur = first
+            for g in range(ng):
+                cnt = base + (1 if g < extra else 0)
+                a = tri_a[k_inst][cur:cur + cnt]
+                e1 = tri_e1[k_inst][cur:cur + cnt]
+                e2 = tri_e2[k_inst][cur:cur + cnt]
+                v = np.concatenate([a, a + e1, a + e2], axis=0)
+                groups.append((cur, cnt, v.min(axis=0), v.max(axis=0)))
+                cur += cnt
+            return groups
+
+        def emit_chunked(inst, node, idx):
+            """One wide node over greedily-packed leaf rows for subtrees of
+            <= WIDE*WIDE_LEAF triangles — kills the binary-topology
+            cascades of 2-child internals over half-empty leaves (bench
+            scene before: mean arity 4.34, leaf fill 4.5/6)."""
+            groups = chunk_groups_m(inst, node)
+            if not groups:
+                return None
+            child_base = alloc(WIDE)
+            row = rows[idx]
+            row[0] = _f(KIND_INTERNAL)
+            row[1] = _f(child_base)
+            for i in range(WIDE):
+                s = 2 + 6 * i
+                if i < len(groups):
+                    first, cnt, lo, hi = groups[i]
+                    row[s:s + 3] = lo - PAD
+                    row[s + 3:s + 6] = hi + PAD
+                    fill_leaf_range(inst, first, cnt, child_base + i)
+                else:
+                    row[s:s + 3] = 3.0e38
+                    row[s + 3:s + 6] = 3.0e38
+            return 2
 
         def emit_mesh_native(ref, idx) -> Optional[int]:
             """C++ fast path for a whole mesh subtree (wide_collapse.cpp).
@@ -386,14 +473,22 @@ def build_wide_scene(
 
         def emit_into(ref, idx) -> int:
             """Fill row ``idx`` for ``ref``; returns subtree wide-depth."""
+            if ref[0] == "c":  # packed chunk row candidate
+                return fill_leaf_range(ref[1], ref[2], ref[3], idx)
             if ref[0] == "m":
                 d = emit_mesh_native(ref, idx)
                 if d is not None:
                     return d
+                inst, nd = ref[1], ref[2]
+                if (inst.b.count[nd] == 0
+                        and inst.sub_count[nd] <= WIDE * WIDE_LEAF):
+                    d = emit_chunked(inst, nd, idx)
+                    if d is not None:
+                        return d
             if not expandable(ref):
                 return fill_terminal(ref, idx)
             cands = children(ref)
-            while len(cands) < WIDE:
+            while True:
                 best, best_sa = -1, -1.0
                 for ci, c in enumerate(cands):
                     if expandable(c):
@@ -402,7 +497,20 @@ def build_wide_scene(
                             best, best_sa = ci, s
                 if best < 0:
                     break
-                cands[best:best + 1] = children(cands[best])
+                cd = cands[best]
+                # small mesh subtrees expand into their packed chunk rows
+                # INSIDE the parent's slots (mirrors the native collapse)
+                if cd[0] == "m" and cd[1].b.count[cd[2]] == 0 \
+                        and cd[1].sub_count[cd[2]] <= WIDE * WIDE_LEAF:
+                    groups = chunk_groups_m(cd[1], cd[2])
+                    if groups and len(cands) - 1 + len(groups) <= WIDE:
+                        cands[best:best + 1] = [
+                            ("c", cd[1], f, ct, lo, hi)
+                            for (f, ct, lo, hi) in groups]
+                        continue
+                if len(cands) >= WIDE:
+                    break
+                cands[best:best + 1] = children(cd)
             child_base = alloc(WIDE)
             row = rows[idx]
             row[0] = _f(KIND_INTERNAL)
