@@ -52,6 +52,33 @@ def _searchsorted_cdf(cdf: jnp.ndarray, u: jnp.ndarray) -> jnp.ndarray:
                     0, cdf.shape[0] - 2)
 
 
+def _search_cond(cond: jnp.ndarray, row: jnp.ndarray, v: jnp.ndarray):
+    """Per-ray inverse-CDF within cond[row]: rightmost col with
+    cond[row, col] <= v (== sum(cond[row] <= v) - 1 for a sorted row).
+
+    Fixed-depth bisection with FLAT scalar gathers: the obvious
+    ``cond[row]`` row gather materializes an (N, W+1) block — 16 GB of
+    traffic per call at 2M rays on a 2k-wide map, which made env-NEE
+    frames ~5x slower than light-NEE ones.  log2(W) scalar gathers from
+    the VMEM-resident CDF table cost ~nothing in comparison, and the
+    result is bit-identical."""
+    w1 = int(cond.shape[1])
+    flat = cond.reshape(-1)
+    base = row * w1
+    lo = jnp.zeros_like(row)
+    hi = jnp.full_like(row, w1 - 1)
+    steps = int(np.ceil(np.log2(max(w1, 2))))
+    for _ in range(steps):
+        mid = (lo + hi) // 2
+        go = flat[base + mid] <= v
+        lo = jnp.where(go, mid, lo)
+        hi = jnp.where(go, hi, mid)
+    col = jnp.clip(lo, 0, w1 - 2)
+    c_lo = flat[base + col]
+    c_hi = flat[base + col + 1]
+    return col, c_lo, c_hi
+
+
 def sample_env_direction(marg: jnp.ndarray, cond: jnp.ndarray,
                          env: jnp.ndarray, u, v):
     """Importance-sample a direction from the env map.
@@ -59,19 +86,12 @@ def sample_env_direction(marg: jnp.ndarray, cond: jnp.ndarray,
     Returns (dir: Vec3, pdf (solid-angle), radiance: Vec3)."""
     h, w, _ = env.shape
     row = _searchsorted_cdf(marg, u)  # (N,)
-    # within-row: gather the row's conditional CDF then search — cond is
-    # (H, W+1); per-ray row gather then vectorized search along axis 1
-    crow = cond[row]  # (N, W+1)
-    col = jnp.clip(
-        jnp.sum((crow <= v[..., None]).astype(jnp.int32), axis=-1) - 1,
-        0, w - 1)
+    col, c_lo, c_hi = _search_cond(cond, row, v)
 
     # continuous offsets inside the texel
     m_lo = marg[row]
     m_hi = marg[row + 1]
     dv_ = (u - m_lo) / jnp.maximum(m_hi - m_lo, 1e-12)
-    c_lo = jnp.take_along_axis(crow, col[..., None], axis=-1)[..., 0]
-    c_hi = jnp.take_along_axis(crow, (col + 1)[..., None], axis=-1)[..., 0]
     du_ = (v - c_lo) / jnp.maximum(c_hi - c_lo, 1e-12)
 
     vv = (row.astype(jnp.float32) + dv_) / h  # [0,1): latitude coordinate
@@ -90,8 +110,11 @@ def sample_env_direction(marg: jnp.ndarray, cond: jnp.ndarray,
     pc = (c_hi - c_lo) * w
     pdf = (pm * pc) / jnp.maximum(TAU * PI * cos_t, 1e-8)
 
-    rad = env[row, col]  # (N, 3)
-    return d, pdf, Vec3(rad[..., 0], rad[..., 1], rad[..., 2])
+    # flat one-index gather (a 2-index gather lowers to a general scatter
+    # -gather; flat per-channel gathers stay in the cheap per-index form)
+    flat_px = env.reshape(-1, 3)
+    pix = row * w + col
+    return d, pdf, Vec3(flat_px[pix, 0], flat_px[pix, 1], flat_px[pix, 2])
 
 
 def lookup_env(env: jnp.ndarray, d: Vec3) -> Vec3:
@@ -120,9 +143,12 @@ def env_pdf(marg: jnp.ndarray, cond: jnp.ndarray, env: jnp.ndarray, d: Vec3):
     row = jnp.clip((v * h).astype(jnp.int32), 0, h - 1)
     col = jnp.clip((u * w).astype(jnp.int32), 0, w - 1)
     pm = (marg[row + 1] - marg[row]) * h
-    crow = cond[row]
-    c_lo = jnp.take_along_axis(crow, col[..., None], axis=-1)[..., 0]
-    c_hi = jnp.take_along_axis(crow, (col + 1)[..., None], axis=-1)[..., 0]
+    # flat scalar gathers — the (N, W+1) row gather `cond[row]` was the
+    # single biggest cost of env-MIS frames (see _search_cond)
+    flat = cond.reshape(-1)
+    base = row * int(cond.shape[1])
+    c_lo = flat[base + col]
+    c_hi = flat[base + col + 1]
     pc = (c_hi - c_lo) * w
     cos_t = jnp.cos(theta)
     return (pm * pc) / jnp.maximum(TAU * PI * cos_t, 1e-8)
