@@ -185,6 +185,12 @@ class PackedScene(NamedTuple):
     # env importance-sampling tables (ops/envmap.py); (1,) zeros if none
     env_cdf_marginal: jnp.ndarray  # (He+1,)
     env_cdf_conditional: jnp.ndarray  # (He, We+1)
+    # O(1) alias sampler + per-texel pdf numerator (ops/envmap.py
+    # build_env_alias): the CDF inverse costs ~25 sequential 2M-wide
+    # scalar gathers per draw (tools/prof39); (1,) dummies if no env
+    env_alias_prob: jnp.ndarray  # (K,)
+    env_alias_idx: jnp.ndarray  # (K,) exact-float int
+    env_pdf_num: jnp.ndarray  # (K,)
 
     # leaf-DMA split tables (pallas_packet._kernel_v4), built at pack time
     # only when wide_rows exceeds the VMEM residence budget: internal+prim
@@ -364,12 +370,16 @@ class Scene:
         # environment map
         if self.env_map is not None:
             env = np.ascontiguousarray(np.asarray(self.env_map, np.float32))
-            from ..ops.envmap import build_env_cdf
+            from ..ops.envmap import build_env_alias, build_env_cdf
             cdf_m, cdf_c = build_env_cdf(env)
+            al_p, al_i, al_pdf = build_env_alias(env)
         else:
             env = np.zeros((1, 1, 3), np.float32)
             cdf_m = np.zeros(2, np.float32)
             cdf_c = np.zeros((1, 2), np.float32)
+            al_p = np.ones(1, np.float32)
+            al_i = np.zeros(1, np.float32)
+            al_pdf = np.ones(1, np.float32)
 
         def V(a):  # (X,3) -> Vec3 of jnp arrays
             # slice in NUMPY: jnp slicing here is an eager device op whose
@@ -448,6 +458,9 @@ class Scene:
             env_pixels=jnp.asarray(env),
             env_cdf_marginal=jnp.asarray(cdf_m),
             env_cdf_conditional=jnp.asarray(cdf_c),
+            env_alias_prob=jnp.asarray(al_p),
+            env_alias_idx=jnp.asarray(al_i),
+            env_pdf_num=jnp.asarray(al_pdf),
             **self._v4_split(wide),
         )
 

@@ -122,6 +122,75 @@ class TestEnvmapSampling:
         lens = np.sqrt(np.asarray(d.x)**2 + np.asarray(d.y)**2 + np.asarray(d.z)**2)
         np.testing.assert_allclose(lens, 1.0, atol=1e-4)
 
+    # ---- alias-table sampler (the production path, O(1) per draw) ----
+
+    def test_alias_concentrates_on_bright_texel(self):
+        env = np.full((16, 32, 3), 0.01, np.float32)
+        env[4, 20] = 500.0
+        p, a, pn = envmap.build_env_alias(env)
+        rng = np.random.default_rng(0)
+        u = jnp.asarray(rng.uniform(size=4096).astype(np.float32))
+        v = jnp.asarray(rng.uniform(size=4096).astype(np.float32))
+        d, pdf, rad = envmap.sample_env_alias(
+            jnp.asarray(p), jnp.asarray(a), jnp.asarray(pn),
+            jnp.asarray(env), u, v)
+        assert float((np.asarray(rad.x) > 100).mean()) > 0.9
+        assert np.isfinite(np.asarray(pdf)).all() and (np.asarray(pdf) > 0).all()
+
+    def test_alias_pdf_integrates_to_one(self):
+        rng = np.random.default_rng(7)
+        env = rng.uniform(0.1, 2.0, (16, 32, 3)).astype(np.float32)
+        p, a, pn = envmap.build_env_alias(env)
+        n = 65536
+        u = jnp.asarray(rng.uniform(size=n).astype(np.float32))
+        v = jnp.asarray(rng.uniform(size=n).astype(np.float32))
+        d, pdf, rad = envmap.sample_env_alias(
+            jnp.asarray(p), jnp.asarray(a), jnp.asarray(pn),
+            jnp.asarray(env), u, v)
+        est = float(np.mean(1.0 / np.asarray(pdf)))
+        assert abs(est - 4 * np.pi) / (4 * np.pi) < 0.05, est
+
+    def test_alias_matches_cdf_texel_distribution(self):
+        """The alias sampler must pick texels with EXACTLY the CDF
+        sampler's probabilities; compare per-texel radiance histograms."""
+        rng = np.random.default_rng(3)
+        env = rng.uniform(0.0, 3.0, (8, 16, 3)).astype(np.float32)
+        env[2, 5] = 40.0
+        marg, cond = envmap.build_env_cdf(env)
+        p, a, pn = envmap.build_env_alias(env)
+        n = 200000
+        u = jnp.asarray(rng.uniform(size=n).astype(np.float32))
+        v = jnp.asarray(rng.uniform(size=n).astype(np.float32))
+        _, _, rad_c = envmap.sample_env_direction(
+            jnp.asarray(marg), jnp.asarray(cond), jnp.asarray(env), u, v)
+        _, _, rad_a = envmap.sample_env_alias(
+            jnp.asarray(p), jnp.asarray(a), jnp.asarray(pn),
+            jnp.asarray(env), u, v)
+        hc, _ = np.histogram(np.asarray(rad_c.x), bins=32, range=(0, 41))
+        ha, _ = np.histogram(np.asarray(rad_a.x), bins=32, range=(0, 41))
+        # total-variation distance between the two texel distributions
+        tv = 0.5 * np.abs(hc / n - ha / n).sum()
+        assert tv < 0.02, tv
+
+    def test_alias_env_pdf_table_matches_sample_pdf(self):
+        """env_pdf_table(d) must equal the pdf returned with the sample
+        (both sides of the MIS weight use the same distribution)."""
+        rng = np.random.default_rng(11)
+        env = rng.uniform(0.1, 2.0, (8, 16, 3)).astype(np.float32)
+        p, a, pn = envmap.build_env_alias(env)
+        u = jnp.asarray(rng.uniform(size=8192).astype(np.float32))
+        v = jnp.asarray(rng.uniform(size=8192).astype(np.float32))
+        d, pdf, _ = envmap.sample_env_alias(
+            jnp.asarray(p), jnp.asarray(a), jnp.asarray(pn),
+            jnp.asarray(env), u, v)
+        pdf2 = envmap.env_pdf_table(jnp.asarray(pn), 8, 16, d)
+        # direction -> (u,v) reprojection can land on the NEIGHBOR texel
+        # for samples jittered to a texel edge (float roundtrip through
+        # trig) — the CDF-based env_pdf had the same property; require
+        # agreement away from that measure-zero boundary band
+        match = np.isclose(np.asarray(pdf2), np.asarray(pdf), rtol=2e-3)
+        assert match.mean() > 0.995, match.mean()
+
 
 class TestCameraRays:
     def test_center_ray_is_aim_direction(self):
