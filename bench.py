@@ -6,7 +6,10 @@ redistributable/checked in).  Prints ONE JSON line:
   {"metric": "Mrays_per_sec", "value": N, "unit": "Mrays/s", "vs_baseline": N}
 vs_baseline is against BASELINE.json's target of 100 Mrays/s/chip on v5e.
 
-Env overrides: BENCH_W, BENCH_H, BENCH_FRAMES, BENCH_SPP (for CPU smoke runs).
+Env overrides: BENCH_W, BENCH_H, BENCH_FRAMES, BENCH_SPP (CPU smoke runs);
+BENCH_BOUNCES / BENCH_NEE / BENCH_FILTER (attribution knobs);
+BENCH_SCENE=stress (655k-tri scene through the v4 leaf-DMA kernel);
+BENCH_CLOSEST_HIT=0 (skip the primary-throughput subprocess).
 """
 
 import json
