@@ -35,13 +35,18 @@ import os
 os.environ["JAX_PLATFORMS"] = "cpu"
 os.environ["XLA_FLAGS"] = os.environ.get("XLA_FLAGS", "") + \
     " --xla_force_host_platform_device_count=8"
-if %(packet)r:
+TRAV = %(trav)r
+if TRAV:
     # run the PRODUCTION Pallas packet kernel inside the sharded program
     # (interpret mode: Mosaic only compiles for real TPUs).  pallas_call
     # under shard_map is the manual-SPMD pattern custom kernels require —
-    # this is the path a real v5e-8 slice would execute.
-    os.environ["BUAS_TRAVERSAL"] = "packet"
+    # this is the path a real v5e-8 slice would execute.  "packet4" runs
+    # the leaf-DMA kernel: replicated resident tree + HBM leaf table +
+    # in-kernel make_async_copy under shard_map.
+    os.environ["BUAS_TRAVERSAL"] = TRAV
     os.environ["BUAS_PACKET_INTERPRET"] = "1"
+    if TRAV == "packet4":
+        os.environ["BUAS_V4"] = "1"
 import jax
 jax.config.update("jax_platforms", "cpu")
 import jax.numpy as jnp
@@ -62,11 +67,18 @@ def build(w, h):
     sc.filter_name = FILTER
     if WITH_ENV:
         # synthetic equirect HDR with a bright hot-spot: exercises the
-        # replicated CDF tables + env-NEE path under GSPMD
+        # replicated alias/pdf tables + env-NEE path under GSPMD
         eh, ew = 16, 32
         env = np.full((eh, ew, 3), 0.05, np.float32)
         env[3, 7] = (40.0, 30.0, 10.0)
         sc.env_map = env
+    if TRAV == "packet4":
+        # triangle content so the leaf-DMA ring actually streams rows
+        from buas_pathtracer_tpu.core import vec
+        from buas_pathtracer_tpu.utils.procgen import icosphere
+        m = sc.add_diffuse_material((0.4, 0.5, 0.7), 1.2)
+        sc.add_mesh(m, icosphere(subdivisions=2),
+                    vec.translate([0.0, 1.0, 2.0]) * vec.scale(0.6))
     return sc
 
 n_dev = len(jax.devices())
@@ -87,23 +99,26 @@ for f_i in range(2):
                             n_lights=sc2.n_lights, filter_name=sc2.filter_name)
 single = np.asarray(film.resolve(accum))
 np.testing.assert_allclose(sharded, single, rtol=1e-5,
-                           atol=2e-3 if %(packet)r else 1e-5)
+                           atol=2e-3 if TRAV else 1e-5)
 print("SHARDED_OK")
 """
 
 
-@pytest.mark.parametrize("filter_name,with_env,packet", [
-    ("Mitchell Netravali", False, False),
+@pytest.mark.parametrize("filter_name,with_env,trav", [
+    ("Mitchell Netravali", False, ""),
     # radius-12 filter with 8 rows/device: the splat halo covers 3 neighbor
     # shards each way — the manual ppermute exchange must be multi-hop
-    ("Lanczos 12", False, False),
-    # replicated env CDF tables + env-NEE + psum'd stats under sharding
-    ("Mitchell Netravali", True, False),
+    ("Lanczos 12", False, ""),
+    # replicated env alias/pdf tables + env-NEE + psum'd stats under sharding
+    ("Mitchell Netravali", True, ""),
     # the PRODUCTION packet traversal kernel inside the sharded program,
     # compared against the single-device XLA path (round-2 verdict item 3)
-    ("Mitchell Netravali", True, True),
+    ("Mitchell Netravali", True, "packet"),
+    # the leaf-DMA kernel (v4) under shard_map: replicated resident tree,
+    # HBM leaf table, in-kernel async copies on every device
+    ("Mitchell Netravali", False, "packet4"),
 ])
-def test_sharded_matches_single_device(filter_name, with_env, packet):
+def test_sharded_matches_single_device(filter_name, with_env, trav):
     """Row-sharded manual-SPMD render == single-device render (the per-device
     body is the same math; the sample halo exchange must be exact).
 
@@ -115,7 +130,7 @@ def test_sharded_matches_single_device(filter_name, with_env, packet):
     res = subprocess.run(
         [sys.executable, "-c",
          SHARDED_SCRIPT % {"filter": filter_name, "with_env": with_env,
-                           "packet": packet}],
+                           "trav": trav}],
         capture_output=True, text=True, timeout=540,
         cwd=os.path.dirname(os.path.dirname(os.path.abspath(__file__))))
     assert "SHARDED_OK" in res.stdout, res.stderr[-2000:]
