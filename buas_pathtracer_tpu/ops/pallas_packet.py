@@ -1063,8 +1063,11 @@ def traverse_dispatch(rows, scene_lo, scene_hi, o: Vec3, d: Vec3, t0,
         # its measured ~96 ms — the rest was moving all 2047 blocks when
         # only ~1000 were live.  Pick the smallest rung that holds the
         # (prefiltered) live count; the full batch stays as the fallback.
+        # top rungs only materialize for batches bigger than a 1080p frame
+        # (the 2N merged light+env shadow wave: 4054 blocks, ~2M live)
         rungs = [m for m in (COMPACT_BLOCKS, 2 * COMPACT_BLOCKS,
-                             4 * COMPACT_BLOCKS, (11 * COMPACT_BLOCKS) // 2)
+                             4 * COMPACT_BLOCKS, (11 * COMPACT_BLOCKS) // 2,
+                             8 * COMPACT_BLOCKS, 11 * COMPACT_BLOCKS)
                  if m < n_blocks]
         branches = [(lambda a, m=m: morton(a, m, live_r)) for m in rungs]
         branches.append(lambda a: morton(a, n_blocks, live_r))
