@@ -2,14 +2,32 @@
 
 Workload: 1080p, 8 bounces, Advanced Pathtracer (NEE + MIS + RR + stratified),
 mesh-heavy scene (procedural icospheres — the reference's dragon OBJ is not
-redistributable/checked in).  Prints ONE JSON line:
-  {"metric": "Mrays_per_sec", "value": N, "unit": "Mrays/s", "vs_baseline": N}
-vs_baseline is against BASELINE.json's target of 100 Mrays/s/chip on v5e.
+redistributable/checked in).  Prints ONE final JSON line:
+  {"metric": "Mrays_per_sec", "value": N, "unit": "Mrays/s", "vs_baseline": N,
+   "samples_per_sec": N, "closest_hit_mrays": N, ...}
+vs_baseline divides the live-ray Mrays/s metric by BASELINE.json's target of
+100 Mrays/s/chip on v5e (`vs_baseline_metric` names the dividend).
+`samples_per_sec` is BASELINE.md's own unit: full path samples finished per
+second at the bench resolution (w*h*spp*frames / elapsed).
+
+Structure (round-4 verdict item 1 — the bench must land a number inside the
+driver budget even if a stage dies):
+  1. the orchestrator (this process, never touches jax) runs the FRAME
+     measurement in a subprocess with inherited stdout, so its JSON line
+     reaches the driver the moment it's measured;
+  2. only then runs the primary closest-hit subprocess (bounded timeout),
+     and re-prints the enriched JSON line.  Whichever line the driver's
+     parser picks up carries the headline metric.
+Each stage is its own process because two live TPU clients contend on the
+axon tunnel and a killed one takes the other down (CLAUDE.md).  Both stages
+enable the persistent compilation cache (.jax_cache/) so the 6-10 min remote
+full-frame compile is paid once across rounds, not per run.
 
 Env overrides: BENCH_W, BENCH_H, BENCH_FRAMES, BENCH_SPP (CPU smoke runs);
 BENCH_BOUNCES / BENCH_NEE / BENCH_FILTER (attribution knobs);
 BENCH_SCENE=stress (655k-tri scene through the v4 leaf-DMA kernel);
-BENCH_CLOSEST_HIT=0 (skip the primary-throughput subprocess).
+BENCH_CLOSEST_HIT=0 (skip the primary-throughput subprocess);
+BENCH_FRAME_TIMEOUT / BENCH_CH_TIMEOUT (stage budgets, seconds).
 """
 
 import json
@@ -17,11 +35,32 @@ import os
 import sys
 import time
 
-sys.path.insert(0, os.path.dirname(os.path.abspath(__file__)))
+import numpy as np  # orchestrator-safe; jax is only imported inside stages
 
-import jax
-import jax.numpy as jnp
-import numpy as np
+_HERE = os.path.dirname(os.path.abspath(__file__))
+sys.path.insert(0, _HERE)
+
+_RESULT_FILE = os.path.join(_HERE, ".bench_frame_result.json")
+
+
+def _enable_compile_cache():
+    """Persistent XLA compilation cache: the remote axon compiler takes
+    6-10 min for the full frame program; cache entries survive across bench
+    runs AND rounds (VERDICT r03 item 1).  Best-effort — harmless if the
+    backend doesn't support serialization.  BENCH_CPU=1 forces the CPU
+    platform for smoke runs (JAX_PLATFORMS alone is overridden by the axon
+    sitecustomize — CLAUDE.md)."""
+    try:
+        import jax
+
+        if os.environ.get("BENCH_CPU") == "1":
+            jax.config.update("jax_platforms", "cpu")
+        jax.config.update("jax_compilation_cache_dir",
+                          os.path.join(_HERE, ".jax_cache"))
+        jax.config.update("jax_persistent_cache_min_compile_time_secs", 5)
+        jax.config.update("jax_persistent_cache_min_entry_size_bytes", 0)
+    except Exception:
+        pass
 
 
 def build_bench_scene(w, h):
@@ -88,13 +127,16 @@ def build_scene(w, h):
 
 def closest_hit_main():
     """BENCH_MODE=closest_hit: primary-ray closest-hit throughput through
-    the production traversal path (the hardware-facing headline number,
-    round-2 verdict item 7).  Runs in its own process so its executables
-    don't count against the frame bench's tunnel budget (CLAUDE.md 4b)."""
+    the production traversal path (the hardware-facing headline number).
+    Runs in its own process so its executables don't count against the
+    frame bench's tunnel budget (CLAUDE.md 4b).  The per-dispatch tunnel
+    overhead is SELF-CALIBRATED from a no-op dispatch (VERDICT r03 weak 8)
+    and both raw+corrected numbers are reported."""
+    _enable_compile_cache()
     w = int(os.environ.get("BENCH_W", 1920))
     h = int(os.environ.get("BENCH_H", 1080))
     import jax
-    from buas_pathtracer_tpu.core.vec import Vec3
+    import jax.numpy as jnp
     from buas_pathtracer_tpu.models import camera as cm
     from buas_pathtracer_tpu.ops import traverse_wide as tw
     from buas_pathtracer_tpu.runtime.render import _tiled
@@ -108,6 +150,10 @@ def closest_hit_main():
     py = _tiled(py_).astype(jnp.float32)
 
     @jax.jit
+    def noop(r):
+        return (r * 2.0).sum()
+
+    @jax.jit
     def hit_sum(r):
         z = jnp.zeros((n,)) + r * 1e-7  # varying arg: defeat result caching
         pr = cm.generate_rays(sc.camera, px, py, w, h, z + 0.5, z + 0.5,
@@ -116,44 +162,45 @@ def closest_hit_main():
                            jnp.full((n,), -1, jnp.int32), occlusion=False)
         return out[0].sum() + out[1].sum()
 
-    _ = np.asarray(hit_sum(jnp.float32(0.0)))  # compile + warm
     seed = int(time.time() * 1000) % 1000
+    # self-calibrate the per-dispatch tunnel overhead with a tiny no-op
+    _ = np.asarray(noop(jnp.float32(0.0)))
+    overhead = 1e9
+    for r in range(3):
+        t0 = time.perf_counter()
+        _ = np.asarray(noop(jnp.float32(seed + r)))
+        overhead = min(overhead, time.perf_counter() - t0)
+
+    _ = np.asarray(hit_sum(jnp.float32(0.0)))  # compile + warm
     ts = []
     for r in range(3):
         t0 = time.perf_counter()
         _ = np.asarray(hit_sum(jnp.float32(seed + r + 1)))
         ts.append(time.perf_counter() - t0)
-    el = min(ts) - 0.028  # per-dispatch tunnel overhead (CLAUDE.md 4b)
-    print(json.dumps({"closest_hit_mrays": round(n / el / 1e6, 1)}))
+    raw = min(ts)
+    el = max(raw - overhead, 1e-9)
+    print(json.dumps({
+        "closest_hit_mrays": round(n / el / 1e6, 1),
+        "closest_hit_mrays_raw": round(n / raw / 1e6, 1),
+        "dispatch_overhead_ms": round(overhead * 1e3, 1),
+    }), flush=True)
 
 
-def main():
+def frame_main():
+    """BENCH_MODE=frame: the full-frame measurement.  Prints the headline
+    JSON line directly to (inherited) stdout the moment it's measured, and
+    mirrors it to .bench_frame_result.json for the orchestrator."""
+    _enable_compile_cache()
     w = int(os.environ.get("BENCH_W", 1920))
     h = int(os.environ.get("BENCH_H", 1080))
     frames = int(os.environ.get("BENCH_FRAMES", 4))
     spp = int(os.environ.get("BENCH_SPP", 1))
-
-    # primary-ray closest-hit throughput, measured FIRST in a subprocess
-    # (before this process touches the TPU; clean exit, no tunnel overlap)
-    ch_mrays = None
-    if os.environ.get("BENCH_CLOSEST_HIT", "1") == "1":
-        import subprocess
-        try:
-            r = subprocess.run(
-                [sys.executable, os.path.abspath(__file__)],
-                env={**os.environ, "BENCH_MODE": "closest_hit"},
-                capture_output=True, text=True, timeout=1500)
-            for line in r.stdout.splitlines():
-                line = line.strip()
-                if line.startswith("{"):
-                    ch_mrays = json.loads(line).get("closest_hit_mrays")
-        except (subprocess.SubprocessError, ValueError, OSError):
-            ch_mrays = None
     bounces = int(os.environ.get("BENCH_BOUNCES", 0))  # attribution knobs
     nee = os.environ.get("BENCH_NEE", "1") == "1"
     filt = os.environ.get("BENCH_FILTER", "Mitchell Netravali")
 
-    from buas_pathtracer_tpu.models.scene import SceneSettings
+    import jax.numpy as jnp
+
     from buas_pathtracer_tpu.runtime import film
     from buas_pathtracer_tpu.runtime.render import render_frame
 
@@ -183,7 +230,6 @@ def main():
     np.asarray(stats)  # REAL sync (block_until_ready can lie over axon)
 
     t0 = time.perf_counter()
-    total_rays = 0.0
     for f_i in range(frames):
         accum, stats = render_frame(ps, sc.settings, sc.camera, accum,
                                     jnp.uint32(seed + (f_i + 1) * spp),
@@ -201,19 +247,69 @@ def main():
     elapsed = t1 - t0
     mrays = rays_per_frame * frames / elapsed / 1e6
 
-    print(json.dumps({
+    result = {
         "metric": "Mrays_per_sec",
         "value": round(mrays, 3),
         "unit": "Mrays/s",
         "vs_baseline": round(mrays / 100.0, 4),
+        "vs_baseline_metric": "live_ray_Mrays_per_sec / 100 Mrays/s/chip",
+        "samples_per_sec": round(w * h * spp * frames / elapsed, 1),
         "frame_ms": round(elapsed / frames * 1e3, 1),
         "rays_per_frame_M": round(rays_per_frame / 1e6, 2),
-        "closest_hit_mrays": ch_mrays,
-    }))
+    }
+    with open(_RESULT_FILE, "w") as f:
+        json.dump(result, f)
+    print(json.dumps(result), flush=True)
+
+
+def main():
+    """Orchestrator: frame measurement first (inherited stdout — its JSON
+    line lands even if everything after dies), then the closest-hit stage,
+    then ONE enriched final line.  No jax in this process: each stage is a
+    clean-exiting TPU client of its own."""
+    import subprocess
+
+    if os.path.exists(_RESULT_FILE):
+        os.remove(_RESULT_FILE)
+    frame_timeout = float(os.environ.get("BENCH_FRAME_TIMEOUT", 2100))
+    ch_timeout = float(os.environ.get("BENCH_CH_TIMEOUT", 1200))
+
+    try:
+        subprocess.run([sys.executable, os.path.abspath(__file__)],
+                       env={**os.environ, "BENCH_MODE": "frame"},
+                       timeout=frame_timeout)
+    except subprocess.SubprocessError:
+        pass
+    result = None
+    if os.path.exists(_RESULT_FILE):
+        with open(_RESULT_FILE) as f:
+            result = json.load(f)
+    if result is None:
+        # frame stage died: nothing trustworthy to report
+        sys.exit(1)
+
+    ch = {}
+    if os.environ.get("BENCH_CLOSEST_HIT", "1") == "1":
+        try:
+            r = subprocess.run(
+                [sys.executable, os.path.abspath(__file__)],
+                env={**os.environ, "BENCH_MODE": "closest_hit"},
+                capture_output=True, text=True, timeout=ch_timeout)
+            for line in r.stdout.splitlines():
+                line = line.strip()
+                if line.startswith("{"):
+                    ch = json.loads(line)
+        except (subprocess.SubprocessError, ValueError, OSError):
+            ch = {}
+    result.update(ch or {"closest_hit_mrays": None})
+    print(json.dumps(result), flush=True)
 
 
 if __name__ == "__main__":
-    if os.environ.get("BENCH_MODE") == "closest_hit":
+    mode = os.environ.get("BENCH_MODE", "")
+    if mode == "frame":
+        frame_main()
+    elif mode == "closest_hit":
         closest_hit_main()
     else:
         main()
