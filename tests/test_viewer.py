@@ -1,0 +1,146 @@
+"""Viewer smoke test — drives the HTTP app in-process (VERDICT r03 item 8).
+
+The 430-line viewer (app/viewer.py) previously had zero coverage; a broken
+endpoint was invisible until a human opened a browser.  This test stands the
+real ThreadingHTTPServer + render thread up on an ephemeral port against a
+tiny Cornell render and exercises every endpoint class the page uses:
+
+  GET  /            the HTML shell
+  GET  /state       stats JSON (scene/integrator/filter lists, settings)
+  GET  /frame.png   a rendered progressive frame (PNG magic + plausible size)
+  GET  /sampler.png sampler-debug images (scatter/hist/noise)
+  POST /control     keys, look, walk toggle, focus pick, setting change,
+                    filter change, take-picture request
+
+Reference behaviors exercised: freelook aim (raytracer.cpp:1837-1854), walk
+toggle (:1855-1890), focus pick from the clicked pixel's hit t (:1810-1826),
+Take Picture (:2177-2179).
+"""
+
+import json
+import os
+import threading
+import time
+import urllib.request
+
+import numpy as np
+import pytest
+
+from buas_pathtracer_tpu.app.viewer import ViewerState, make_handler
+from http.server import ThreadingHTTPServer
+
+W, H = 48, 32
+
+
+@pytest.fixture(scope="module")
+def viewer():
+    state = ViewerState("Cornell Box", W, H)
+    rt = threading.Thread(target=state.render_loop, daemon=True)
+    rt.start()
+    server = ThreadingHTTPServer(("127.0.0.1", 0), make_handler(state))
+    st = threading.Thread(target=server.serve_forever, daemon=True)
+    st.start()
+    base = f"http://127.0.0.1:{server.server_address[1]}"
+    yield state, base
+    state.running = False
+    # join the render thread before the interpreter starts tearing down:
+    # a daemon thread mid-jax-dispatch at exit aborts the process
+    # ("FATAL: exception not rethrown") AFTER pytest reports success
+    rt.join(timeout=120)
+    server.shutdown()
+
+
+def get(base, path):
+    with urllib.request.urlopen(base + path, timeout=30) as r:
+        return r.status, r.read()
+
+
+def post(base, msg):
+    req = urllib.request.Request(base + "/control",
+                                 data=json.dumps(msg).encode(), method="POST")
+    with urllib.request.urlopen(req, timeout=30) as r:
+        return r.status
+
+
+def wait_for(pred, timeout=180.0, interval=0.25):
+    t0 = time.time()
+    while time.time() - t0 < timeout:
+        if pred():
+            return True
+        time.sleep(interval)
+    return False
+
+
+class TestViewerEndpoints:
+    def test_page_and_state(self, viewer):
+        state, base = viewer
+        code, body = get(base, "/")
+        assert code == 200 and b"buas-pathtracer-tpu" in body
+
+        code, body = get(base, "/state")
+        assert code == 200
+        s = json.loads(body)
+        assert s["scene"] == "Cornell Box"
+        assert "Advanced Pathtracer" in s["integrators"]
+        assert "Mitchell Netravali" in s["filters"]
+        assert s["settings"]["max_bounce_count"] >= 1
+        assert isinstance(s["scenes"], list) and len(s["scenes"]) >= 10
+
+    def test_progressive_frame_renders(self, viewer):
+        state, base = viewer
+        # first frame needs the jit compile; poll /state until spp advances
+        assert wait_for(lambda: json.loads(get(base, "/state")[1])["spp"] >= 2), \
+            "render loop never produced a frame"
+        code, body = get(base, "/frame.png")
+        assert code == 200 and body[:8] == b"\x89PNG\r\n\x1a\n"
+        assert len(body) > 200  # a real (compressed) image, not the black init
+
+    def test_controls_move_look_walk_focus(self, viewer):
+        state, base = viewer
+        p0 = (float(state.renderer.new_camera.p.x),
+              float(state.renderer.new_camera.p.z))
+        assert post(base, {"type": "keys", "keys": ["w"], "fast": True}) == 200
+        # the render thread applies movement each loop; wait for the position
+        # to move, then release
+        moved = wait_for(lambda: (float(state.renderer.new_camera.p.x) - p0[0]) ** 2
+                         + (float(state.renderer.new_camera.p.z) - p0[1]) ** 2 > 1e-8,
+                         timeout=120)
+        post(base, {"type": "keys", "keys": [], "fast": False})
+        assert moved, "WASD movement did not change the camera position"
+
+        aim0 = float(state.renderer.new_camera.z.x)
+        assert post(base, {"type": "look", "dx": 120, "dy": 0}) == 200
+        assert abs(float(state.renderer.new_camera.z.x) - aim0) > 1e-6
+
+        assert post(base, {"type": "walk"}) == 200
+        assert state.walk_mode
+        assert post(base, {"type": "walk"}) == 200
+        assert not state.walk_mode
+
+        f0 = float(state.renderer.new_camera.focus_distance)
+        assert post(base, {"type": "focus", "x": W // 2, "y": H // 2}) == 200
+        # center pixel hits the cornell interior -> a finite focus distance
+        assert float(state.renderer.new_camera.focus_distance) > 0.0
+
+    def test_setting_and_filter_commit(self, viewer):
+        state, base = viewer
+        assert post(base, {"type": "setting", "field": "max_bounce_count",
+                           "value": 3}) == 200
+        assert state.renderer.new_settings.max_bounce_count == 3
+        assert post(base, {"type": "filter", "name": "Box"}) == 200
+        assert state.renderer.new_filter == "Box"
+
+    def test_sampler_debug_images(self, viewer):
+        state, base = viewer
+        for kind in ("scatter", "hist", "noise"):
+            code, body = get(base, f"/sampler.png?kind={kind}&strategy=2")
+            assert code == 200 and body[:8] == b"\x89PNG\r\n\x1a\n", kind
+
+    def test_take_picture(self, viewer, tmp_path):
+        state, base = viewer
+        out = str(tmp_path / "pic.png")
+        assert post(base, {"type": "picture", "spp": 2, "path": out}) == 200
+        assert wait_for(lambda: os.path.exists(out), timeout=240), \
+            "take_picture never wrote the output"
+        with open(out, "rb") as f:
+            assert f.read(8) == b"\x89PNG\r\n\x1a\n"
