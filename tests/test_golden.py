@@ -14,6 +14,8 @@ import os
 import numpy as np
 import pytest
 
+pytestmark = pytest.mark.slow  # minutes-long renders; default run: -m 'not slow'
+
 from buas_pathtracer_tpu.core import vec
 from buas_pathtracer_tpu.models import camera as cm
 from buas_pathtracer_tpu.models.scene import Scene, SceneSettings

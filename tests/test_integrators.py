@@ -13,6 +13,8 @@ import jax
 import jax.numpy as jnp
 import numpy as np
 import pytest
+
+pytestmark = pytest.mark.slow  # minutes-long renders; default run: -m 'not slow'
 from dataclasses import replace
 
 from buas_pathtracer_tpu.core import vec

@@ -8,6 +8,8 @@ import jax.numpy as jnp
 import numpy as np
 import pytest
 
+pytestmark = pytest.mark.slow  # minutes-long renders; default run: -m 'not slow'
+
 from buas_pathtracer_tpu.models.scenes import SCENES, load_scene
 from buas_pathtracer_tpu.runtime import film
 from buas_pathtracer_tpu.runtime.render import render_frame
