@@ -33,7 +33,8 @@ from jax.experimental.pallas import tpu as pltpu
 from ..core.vec import Vec3
 from ..models.scene import PRIM_SPHERE
 from . import intersect
-from .wide_bvh import KIND_INTERNAL, KIND_PRIM, KIND_TRIS, WIDE, WIDE_LEAF
+from .wide_bvh import (KIND_EMPTY, KIND_INTERNAL, KIND_PRIM, KIND_TRIS,
+                       WIDE, WIDE_LEAF)
 
 BS, BL = 8, 128                 # ray block shape (sublanes, lanes)
 BLOCK = BS * BL                 # 1024 rays per grid step
@@ -469,6 +470,317 @@ def _kernel_v2(rows_ref, ox, oy, oz, dx, dy, dz, t0r, ignr,
     # already does — dead lanes are never written)
 
 
+# ---------------------------------------------------------------------------
+# v5: grouped kind-uniform walks + multi-leaf iterations
+# ---------------------------------------------------------------------------
+
+LQ_CAP = 96  # per-group leaf/prim queue slots (force-drain keeps it < cap)
+
+
+def _kernel_v5(rows_ref, ox, oy, oz, dx, dy, dz, t0r, ignr, *refs,
+               occlusion: bool, G: int, LPI: int):
+    """Grouped walk kernel (v5): G independent walks per (8,128) block,
+    each owning 8/G sublane rows, with KIND-UNIFORM iterations and up to
+    LPI leaf rows consumed per leaf iteration.
+
+    Why (offline evidence, tools/prof40/41 — exact lockstep simulators on
+    the REAL 1080p waves):
+      * v2's single block-shared stack makes 1024 scattered rays walk the
+        UNION of their visit sets; giving every sublane row its own stack
+        cuts lockstep iterations x2.2 on the real bounce-1 wave;
+      * one leaf row per iteration leaves the ~0.5 us fixed per-iteration
+        cost (row-fetch dependency stall + loop overhead, prof42)
+        unamortized: LPI=4 cuts bounce iterations a further x1.9
+        (707 -> 167 total) and the PRIMARY wave x1.5 (13.7 -> 9.0) — the
+        closest-hit headline is per-iteration-cost bound, not
+        iteration bound.
+    Iterations stay kind-uniform (the pl.when trick needs one node type
+    per step): internal children push onto the group's stack, leaf/prim
+    children onto its queue (prims sign-encoded), and each iteration is
+    either an INTERNAL step (one stack pop per group, vectorized (8,64)
+    row fetch + per-group slab keys + per-group Batcher sort on (8,1)
+    vectors) or a LEAF step (up to LPI queue pops per group, with the
+    Moller-Trumbore and analytic-prim bodies masked per group).  Policy:
+    leaf step when ready leaves outnumber ready stacks, a queue nears
+    capacity, or every stack is empty.
+
+    Requires child-kind codes in row lanes 50..57
+    (wide_bvh.annotate_child_kinds) and G in (1, 8)."""
+    assert G in (1, 8) and LPI >= 1
+    to, po, tro, bvo, bwo, so, stacks, leafq, sps, lqs = refs
+    o = Vec3(ox[:], oy[:], oz[:])
+    d = Vec3(dx[:], dy[:], dz[:])
+    t_in = t0r[:]
+    ign = ignr[:].astype(jnp.int32)
+    inv_d = intersect.safe_inv_dir(d)
+    live0 = t_in >= 0.0
+    any_live = jnp.any(live0)
+
+    @pl.when(pl.program_id(0) == 0)
+    def _init_stats():
+        so[0, 0] = jnp.int32(0)
+        so[0, 1] = jnp.int32(0)
+
+    to[:] = t_in
+    po[:] = jnp.full((BS, BL), -1, jnp.int32)
+    tro[:] = jnp.full((BS, BL), -1, jnp.int32)
+    bvo[:] = jnp.zeros((BS, BL), jnp.float32)
+    bwo[:] = jnp.zeros((BS, BL), jnp.float32)
+
+    def active_now():
+        return live0 & (po[:] < 0) if occlusion else live0
+
+    def fetch_rows(idxs):
+        """One (64,) scalar-indexed row read per group; (8, 64) for G=8."""
+        if G == 8:
+            return jnp.stack([rows_ref[idxs[g]] for g in range(8)])
+        return rows_ref[idxs[0]]
+
+    def col(nodes, k):
+        """Lane k of each group's row, shaped to broadcast over (8,128):
+        (8,1) for G=8, a scalar for G=1 (the v2 form)."""
+        return nodes[:, k][:, None] if G == 8 else nodes[k]
+
+    def coli(nodes, k):
+        c = col(nodes, k)
+        return c.astype(jnp.int32)
+
+    def gvec(scalars):
+        """G group booleans -> a mask broadcastable over (8,128)."""
+        if G == 8:
+            return jnp.stack(list(scalars)).reshape(8, 1)
+        return scalars[0]
+
+    def gred_min(x, fill):
+        """Per-group min over the group's rays (axis-1 keepdims for G=8)."""
+        if G == 8:
+            return jnp.min(x, axis=1, keepdims=True)
+        return jnp.min(x)
+
+    @pl.when(any_live)
+    def _walk():
+        def cond(pending):
+            return pending > 0
+
+        def body(_):
+            n_int = jnp.int32(0)
+            n_leaf = jnp.int32(0)
+            max_lq = jnp.int32(0)
+            for g in range(G):
+                n_int = n_int + (sps[g] > 0).astype(jnp.int32)
+                n_leaf = n_leaf + (lqs[g] > 0).astype(jnp.int32)
+                max_lq = jnp.maximum(max_lq, lqs[g])
+            do_leaf = ((n_leaf > n_int) | (n_int == 0)
+                       | (max_lq >= LQ_CAP - 8 * LPI))
+            active = active_now()
+            so[0, 0] = so[0, 0] + jnp.sum(active.astype(jnp.int32))
+
+            @pl.when(~do_leaf)
+            def _internal():
+                t = to[:]
+                readys = [sps[g] > 0 for g in range(G)]
+                curs = [stacks[g, jnp.maximum(sps[g] - 1, 0)]
+                        for g in range(G)]
+                for g in range(G):
+                    sps[g] = sps[g] - readys[g].astype(jnp.int32)
+                nodes = fetch_rows(curs)
+                afull = active & gvec(readys)
+
+                keys, pays, kinds = [], [], []
+                for c in range(WIDE):
+                    s = 2 + 6 * c
+                    t1x = (col(nodes, s + 0) - o.x) * inv_d.x
+                    t2x = (col(nodes, s + 3) - o.x) * inv_d.x
+                    t1y = (col(nodes, s + 1) - o.y) * inv_d.y
+                    t2y = (col(nodes, s + 4) - o.y) * inv_d.y
+                    t1z = (col(nodes, s + 2) - o.z) * inv_d.z
+                    t2z = (col(nodes, s + 5) - o.z) * inv_d.z
+                    tn = jnp.maximum(jnp.maximum(jnp.minimum(t1x, t2x),
+                                                 jnp.minimum(t1y, t2y)),
+                                     jnp.minimum(t1z, t2z))
+                    tf = jnp.minimum(jnp.minimum(jnp.maximum(t1x, t2x),
+                                                 jnp.maximum(t1y, t2y)),
+                                     jnp.maximum(t1z, t2z))
+                    hit_c = (tn < tf) & (tf > 0.0) & (tn < t) & afull
+                    tmin = gred_min(jnp.where(hit_c, jnp.maximum(tn, 0.0),
+                                              BIG_T), BIG_T)
+                    keys.append(jnp.where(tmin < BIG_T, tmin,
+                                          jnp.float32(BIG_T * 2.0)))
+                    pays.append(tmin * 0.0 + jnp.float32(c))
+                    kinds.append(coli(nodes, 50 + c) + jnp.int32(0))
+                if not occlusion:
+                    # nearest-first per group: Batcher network with the
+                    # payload and kind codes swapped in parallel
+                    for (i, j) in _SORT_PAIRS:
+                        swap = keys[i] > keys[j]
+                        ki = jnp.where(swap, keys[j], keys[i])
+                        kj = jnp.where(swap, keys[i], keys[j])
+                        pi = jnp.where(swap, pays[j], pays[i])
+                        pj = jnp.where(swap, pays[i], pays[j])
+                        qi = jnp.where(swap, kinds[j], kinds[i])
+                        qj = jnp.where(swap, kinds[i], kinds[j])
+                        keys[i], keys[j] = ki, kj
+                        pays[i], pays[j] = pi, pj
+                        kinds[i], kinds[j] = qi, qj
+                # route each (group, sorted slot): internal children onto
+                # the group's stack farthest-first (nearest pops first),
+                # leaf/prim children onto its queue (prim sign-encoded).
+                # A group with no ready node has afull=0 rows -> no hits
+                # -> nothing routed, so no extra ready guard is needed.
+                base = coli(nodes, 1)
+                order = range(WIDE - 1, -1, -1) if not occlusion \
+                    else range(WIDE)
+                for j in order:
+                    for g in range(G):
+                        if G == 8:
+                            ok = keys[j][g, 0] < BIG_T * 2.0
+                            kd = kinds[j][g, 0]
+                            slot = base[g, 0] \
+                                + pays[j][g, 0].astype(jnp.int32)
+                        else:
+                            ok = keys[j] < BIG_T * 2.0
+                            kd = kinds[j]
+                            slot = base + pays[j].astype(jnp.int32)
+                        is_int = ok & (kd == KIND_INTERNAL)
+                        spg = sps[g]
+                        idx = jnp.where(is_int, spg, jnp.int32(STACK))
+                        stacks[g, idx] = jnp.where(is_int, slot,
+                                                   stacks[g, idx])
+                        sps[g] = spg + is_int.astype(jnp.int32)
+                        is_lp = ok & ((kd == KIND_TRIS)
+                                      | (kd == KIND_PRIM))
+                        enc = jnp.where(kd == KIND_TRIS, slot, -slot - 1)
+                        lqg = lqs[g]
+                        idx2 = jnp.where(is_lp, lqg, jnp.int32(LQ_CAP))
+                        leafq[g, idx2] = jnp.where(is_lp, enc,
+                                                   leafq[g, idx2])
+                        lqs[g] = lqg + is_lp.astype(jnp.int32)
+
+            @pl.when(do_leaf)
+            def _leaf():
+                for _rep in range(LPI):
+                    readys = [lqs[g] > 0 for g in range(G)]
+                    encs = [leafq[g, jnp.maximum(lqs[g] - 1, 0)]
+                            for g in range(G)]
+                    for g in range(G):
+                        lqs[g] = lqs[g] - readys[g].astype(jnp.int32)
+                    rowidx = [jnp.where(encs[g] >= 0, encs[g],
+                                        -encs[g] - 1) for g in range(G)]
+                    nodes = fetch_rows(rowidx)
+                    tri_rows = gvec([readys[g] & (encs[g] >= 0)
+                                     for g in range(G)])
+                    prim_rows = gvec([readys[g] & (encs[g] < 0)
+                                      for g in range(G)])
+                    act = active_now()
+                    t_l = to[:]
+
+                    # --- triangle body, masked to tri-entry groups ------
+                    count = coli(nodes, 1)
+                    tri_base = coli(nodes, 2)
+                    inst_t = coli(nodes, 3)
+                    not_ign = inst_t != ign
+                    for k in range(WIDE_LEAF):
+                        s = 8 + 9 * k
+                        ax_, ay_, az_ = (col(nodes, s + 0),
+                                         col(nodes, s + 1),
+                                         col(nodes, s + 2))
+                        e1x, e1y, e1z = (col(nodes, s + 3),
+                                         col(nodes, s + 4),
+                                         col(nodes, s + 5))
+                        e2x, e2y, e2z = (col(nodes, s + 6),
+                                         col(nodes, s + 7),
+                                         col(nodes, s + 8))
+                        pvx = d.y * e2z - d.z * e2y
+                        pvy = d.z * e2x - d.x * e2z
+                        pvz = d.x * e2y - d.y * e2x
+                        det = e1x * pvx + e1y * pvy + e1z * pvz
+                        ok = (det <= -intersect.TRI_EPS) \
+                            | (det >= intersect.TRI_EPS)
+                        inv_det = 1.0 / jnp.where(ok, det, 1.0)
+                        tvx, tvy, tvz = o.x - ax_, o.y - ay_, o.z - az_
+                        v_ = (tvx * pvx + tvy * pvy + tvz * pvz) * inv_det
+                        ok = ok & (v_ >= 0.0) & (v_ <= 1.0)
+                        qvx = tvy * e1z - tvz * e1y
+                        qvy = tvz * e1x - tvx * e1z
+                        qvz = tvx * e1y - tvy * e1x
+                        w_ = (d.x * qvx + d.y * qvy + d.z * qvz) * inv_det
+                        ok = ok & (w_ >= 0.0) & (v_ + w_ <= 1.0)
+                        t_new = (e2x * qvx + e2y * qvy + e2z * qvz) \
+                            * inv_det
+                        ok = ok & (t_new >= intersect.TRI_EPS) \
+                            & (t_l >= t_new)
+                        h = ok & not_ign & act & tri_rows & (k < count)
+                        t_l = jnp.where(h, t_new, t_l)
+                        po[:] = jnp.where(h, inst_t, po[:])
+                        if not occlusion:
+                            tro[:] = jnp.where(h, tri_base + k, tro[:])
+                            bvo[:] = jnp.where(h, v_, bvo[:])
+                            bwo[:] = jnp.where(h, w_, bwo[:])
+                    so[0, 1] = so[0, 1] + jnp.sum(jnp.where(
+                        act & tri_rows,
+                        jnp.broadcast_to(count, (BS, BL)), 0))
+
+                    # --- analytic prim body, masked to prim-entry groups -
+                    prim_id = coli(nodes, 1)
+                    ptype = coli(nodes, 2)
+                    m = [col(nodes, 4 + i) for i in range(12)]
+                    os_o = Vec3(
+                        m[0] * o.x + m[1] * o.y + m[2] * o.z + m[3],
+                        m[4] * o.x + m[5] * o.y + m[6] * o.z + m[7],
+                        m[8] * o.x + m[9] * o.y + m[10] * o.z + m[11])
+                    os_d = Vec3(m[0] * d.x + m[1] * d.y + m[2] * d.z,
+                                m[4] * d.x + m[5] * d.y + m[6] * d.z,
+                                m[8] * d.x + m[9] * d.y + m[10] * d.z)
+                    sph = ptype == PRIM_SPHERE
+                    hs, ts_ = intersect.sphere(os_o, os_d,
+                                               col(nodes, 16), t_l)
+                    hb, tb_ = intersect.box(os_o, os_d,
+                                            Vec3(col(nodes, 17),
+                                                 col(nodes, 18),
+                                                 col(nodes, 19)), t_l)
+                    ph = (prim_id != ign) & act & prim_rows \
+                        & ((hs & sph) | (hb & ~sph))
+                    t_l = jnp.where(ph, jnp.where(sph, ts_, tb_), t_l)
+                    po[:] = jnp.where(ph, prim_id, po[:])
+                    if not occlusion:
+                        tro[:] = jnp.where(ph, -1, tro[:])
+                        to[:] = t_l
+                    # occlusion mode never tightens t: blockedness
+                    # (po >= 0) is the only state that advances
+
+            if occlusion:
+                # per-GROUP early exit: a group whose live rays are all
+                # blocked drains its own stack+queue (finer than v2's
+                # whole-block exit)
+                open_ = live0 & (po[:] < 0)
+                if G == 8:
+                    open_g = jnp.any(open_, axis=1, keepdims=True)
+                    for g in range(G):
+                        keep = open_g[g, 0]
+                        sps[g] = jnp.where(keep, sps[g], 0)
+                        lqs[g] = jnp.where(keep, lqs[g], 0)
+                else:
+                    keep = jnp.any(open_)
+                    sps[0] = jnp.where(keep, sps[0], 0)
+                    lqs[0] = jnp.where(keep, lqs[0], 0)
+
+            pending = jnp.int32(0)
+            for g in range(G):
+                pending = pending + sps[g] + lqs[g]
+            return pending
+
+        root_kind = rows_ref[0][0].astype(jnp.int32)
+        root_is_int = root_kind == KIND_INTERNAL
+        root_enc = jnp.where(root_kind == KIND_TRIS, 0, -1)
+        for g in range(G):
+            stacks[g, 0] = jnp.int32(0)
+            leafq[g, 0] = root_enc
+            sps[g] = root_is_int.astype(jnp.int32)
+            lqs[g] = jnp.where(root_is_int | (root_kind == KIND_EMPTY),
+                               0, 1)
+        jax.lax.while_loop(cond, body, jnp.int32(1))
+
+
 QS = 16   # v4 leaf DMA ring slots (power of two, >= 2 * WIDE)
 LAG = 4   # iterations a leaf copy stays in flight before its wait
 
@@ -634,26 +946,34 @@ def _kernel_v4(res_ref, leaf_ref, ox, oy, oz, dx, dy, dz, t0r, ignr,
 
 def packet_traverse(rows, o: Vec3, d: Vec3, t0, ignored_prim,
                     occlusion: bool = False, interpret: bool = False,
-                    v4_tables=None):
+                    v4_tables=None, groups: int = 1):
     """Block-coherent traversal over the whole flat ray batch.
 
-    The kernel version is resolved from ``BUAS_PACKET_V1`` HERE, at trace
-    time, and forwarded as a jit-STATIC argument: reading the env inside the
-    traced body would be frozen into the first-traced jaxpr and silently
-    ignored on later flips (the inner jit cache keys on avals, not env).
-    ``v4_tables=(res_rows, leaf_rows)`` selects the leaf-DMA kernel for
-    tables too big to keep VMEM-resident (the structure difference keys
-    the jit cache)."""
+    The kernel version is resolved from ``BUAS_PACKET_V1``/``BUAS_PACKET_V5``
+    HERE, at trace time, and forwarded as a jit-STATIC argument: reading the
+    env inside the traced body would be frozen into the first-traced jaxpr
+    and silently ignored on later flips (the inner jit cache keys on avals,
+    not env).  ``v4_tables=(res_rows, leaf_rows)`` selects the leaf-DMA
+    kernel for tables too big to keep VMEM-resident (the structure
+    difference keys the jit cache).  ``groups`` is the v5 walk-group count
+    the caller picks per wave shape (1 = coherent/natural order, 8 =
+    compacted incoherent); ignored by v1/v2/v4."""
     v2 = _os.environ.get("BUAS_PACKET_V1", "0") != "1"
+    v5 = _os.environ.get("BUAS_PACKET_V5", "0") == "1" and v4_tables is None
+    lpi = int(_os.environ.get("BUAS_V5_LPI", "4"))
     return _packet_traverse(rows, v4_tables, o, d, t0, ignored_prim,
-                            occlusion=occlusion, interpret=interpret, v2=v2)
+                            occlusion=occlusion, interpret=interpret, v2=v2,
+                            v5=v5, groups=groups if v5 else 1,
+                            lpi=lpi if v5 else 1)
 
 
 @functools.partial(jax.jit,
-                   static_argnames=("occlusion", "interpret", "v2"))
+                   static_argnames=("occlusion", "interpret", "v2", "v5",
+                                    "groups", "lpi"))
 def _packet_traverse(rows, v4_tables, o: Vec3, d: Vec3, t0, ignored_prim,
                      occlusion: bool = False, interpret: bool = False,
-                     v2: bool = True):
+                     v2: bool = True, v5: bool = False, groups: int = 1,
+                     lpi: int = 1):
     """Jitted body of :func:`packet_traverse`.
 
     Returns (t, prim, tri, bv, bw, node_visits, tri_tests) like
@@ -712,19 +1032,37 @@ def _packet_traverse(rows, v4_tables, o: Vec3, d: Vec3, t0, ignored_prim,
         t, prim, tri, bv, bw = (x.reshape(-1)[:n] for x in outs[:5])
         return t, prim, tri, bv, bw, outs[5][0, 0], outs[5][0, 1]
 
-    grid_spec = pltpu.PrefetchScalarGridSpec(
-        num_scalar_prefetch=0,
-        grid=(nb,),
-        # rows: the WHOLE table resident in VMEM across all grid steps
-        in_specs=[pl.BlockSpec(memory_space=pltpu.VMEM)]
-        + [blk() for _ in range(8)],
-        out_specs=[blk() for _ in range(5)]
-        + [pl.BlockSpec(memory_space=pltpu.SMEM)],
-        scratch_shapes=[pltpu.SMEM((STACK + 1,), jnp.int32)]
-        + ([pltpu.SMEM((1,), jnp.int32)] if v2 else []),
-    )
-    kernel = functools.partial(_kernel_v2 if v2 else _kernel,
-                               occlusion=occlusion)
+    if v5:
+        grid_spec = pltpu.PrefetchScalarGridSpec(
+            num_scalar_prefetch=0,
+            grid=(nb,),
+            in_specs=[pl.BlockSpec(memory_space=pltpu.VMEM)]
+            + [blk() for _ in range(8)],
+            out_specs=[blk() for _ in range(5)]
+            + [pl.BlockSpec(memory_space=pltpu.SMEM)],
+            scratch_shapes=[
+                pltpu.SMEM((groups, STACK + 1), jnp.int32),   # stacks
+                pltpu.SMEM((groups, LQ_CAP + 1), jnp.int32),  # leaf queues
+                pltpu.SMEM((groups,), jnp.int32),             # sp per group
+                pltpu.SMEM((groups,), jnp.int32),             # lq per group
+            ],
+        )
+        kernel = functools.partial(_kernel_v5, occlusion=occlusion,
+                                   G=groups, LPI=lpi)
+    else:
+        grid_spec = pltpu.PrefetchScalarGridSpec(
+            num_scalar_prefetch=0,
+            grid=(nb,),
+            # rows: the WHOLE table resident in VMEM across all grid steps
+            in_specs=[pl.BlockSpec(memory_space=pltpu.VMEM)]
+            + [blk() for _ in range(8)],
+            out_specs=[blk() for _ in range(5)]
+            + [pl.BlockSpec(memory_space=pltpu.SMEM)],
+            scratch_shapes=[pltpu.SMEM((STACK + 1,), jnp.int32)]
+            + ([pltpu.SMEM((1,), jnp.int32)] if v2 else []),
+        )
+        kernel = functools.partial(_kernel_v2 if v2 else _kernel,
+                                   occlusion=occlusion)
     outs = pl.pallas_call(
         kernel,
         out_shape=out_shapes,
@@ -998,7 +1336,8 @@ def traverse_dispatch(rows, scene_lo, scene_hi, o: Vec3, d: Vec3, t0,
         ox, oy, oz, dx, dy, dz, t0, ign = args
         return packet_traverse(rows, Vec3(ox, oy, oz), Vec3(dx, dy, dz),
                                t0, _i32e(ign), occlusion=occlusion,
-                               interpret=interpret, v4_tables=v4_tables)
+                               interpret=interpret, v4_tables=v4_tables,
+                               groups=1)
 
     def morton(args, m, live_mask):
         """Morton-compact the masked-live rays to the first m blocks, walk,
@@ -1028,7 +1367,8 @@ def traverse_dispatch(rows, scene_lo, scene_hi, o: Vec3, d: Vec3, t0,
         out = packet_traverse(rows, Vec3(bT[0], bT[1], bT[2]),
                               Vec3(bT[3], bT[4], bT[5]), bT[6],
                               _i32e(bT[7]), occlusion=occlusion,
-                              interpret=interpret, v4_tables=v4_tables)
+                              interpret=interpret, v4_tables=v4_tables,
+                              groups=8)
 
         def back(col, default):
             return default.at[ids].set(col, unique_indices=True)

@@ -144,6 +144,25 @@ def split_for_dma(rows: np.ndarray):
     return res_rows, leaf_rows
 
 
+def annotate_child_kinds(rows: np.ndarray) -> np.ndarray:
+    """Write each internal row's 8 child KIND codes into lanes 50..57
+    (free in the 8-wide layout; the same lanes split_for_dma overwrites
+    with encoded links in its private resident copy).
+
+    The grouped-walk kernel (pallas_packet v5) routes children at PUSH
+    time — internal children to the per-group stack, leaf/prim children
+    to the per-group queue — so it needs the child kind without fetching
+    the child row.  Exact float values (0..3)."""
+    if rows.shape[1] < 58 or WIDE != 8:
+        return rows
+    kind = rows[:, 0].astype(np.int32)
+    internal = np.nonzero(kind == KIND_INTERNAL)[0]
+    if internal.size:
+        ch = rows[internal, 1].astype(np.int64)[:, None] + np.arange(WIDE)
+        rows[internal, 50:50 + WIDE] = kind[ch].astype(np.float32)
+    return rows
+
+
 def _transform_points(fwd: np.ndarray, p: np.ndarray) -> np.ndarray:
     """fwd (3,4) applied to p (...,3)."""
     return p @ fwd[:, :3].T + fwd[:, 3]
@@ -551,7 +570,7 @@ def build_wide_scene(
         scene_lo = np.zeros(3, np.float32)
         scene_hi = np.ones(3, np.float32)
     return WideScene(
-        rows=np.stack(rows),
+        rows=annotate_child_kinds(np.stack(rows)),
         depth=max(depth, 1),
         scene_lo=scene_lo,
         scene_hi=scene_hi,

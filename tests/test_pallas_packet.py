@@ -226,3 +226,33 @@ def test_dispatch_natural_branch_parity(scene):
     np.testing.assert_allclose(np.asarray(out[0]), np.asarray(ref[0]),
                                rtol=1e-5, atol=1e-5)
     np.testing.assert_array_equal(np.asarray(out[1]), np.asarray(ref[1]))
+
+
+@pytest.mark.parametrize("occlusion", [False, True])
+@pytest.mark.parametrize("groups,lpi", [(1, 2), (8, 1), (8, 4)])
+@pytest.mark.parametrize("case", CASES[1:])  # incoherent +/- dead lanes
+def test_v5_grouped_parity(scene, monkeypatch, groups, lpi, case, occlusion):
+    """v5 grouped kind-uniform walks (per-group stacks + leaf queues,
+    multi-leaf iterations) must agree with the XLA path for every
+    (G, LPI) config, closest-hit and occlusion, including dead lanes and
+    light exclusion.  Routing relies on the child-kind codes
+    wide_bvh.annotate_child_kinds writes into row lanes 50..57."""
+    monkeypatch.setenv("BUAS_PACKET_V5", "1")
+    monkeypatch.setenv("BUAS_V5_LPI", str(lpi))
+    ps = scene.pack()
+    n = 4096
+    o, d, t0, ign = _rays(scene, n, seed=31, **case)
+    if occlusion:
+        t0 = jnp.where(t0 > 0, 9.0, t0)
+    ref = tw._traverse(ps, o, d, t0, ign, occlusion=occlusion)
+    out = pp.packet_traverse(ps.wide_rows, o, d, t0, ign,
+                             occlusion=occlusion, interpret=True,
+                             groups=groups)
+    if occlusion:
+        np.testing.assert_array_equal(np.asarray(out[1]) >= 0,
+                                      np.asarray(ref[1]) >= 0)
+    else:
+        np.testing.assert_allclose(np.asarray(out[0]), np.asarray(ref[0]),
+                                   rtol=1e-5, atol=1e-5)
+        np.testing.assert_array_equal(np.asarray(out[1]), np.asarray(ref[1]))
+        np.testing.assert_array_equal(np.asarray(out[2]), np.asarray(ref[2]))

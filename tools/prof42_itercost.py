@@ -1,0 +1,183 @@
+# Round-4 on-chip microprobe: decompose the packet kernel's ~0.9 us/
+# iteration cost (prof41 found the primary wave is per-iteration-cost
+# bound: 13.7 iters/block x 2025 blocks x ~0.9 us ~= the measured 25.5 ms
+# closest-hit, while the VPU work alone accounts for ~0.35 us).
+#
+# Method: standalone pallas kernels over one (8,128) ray block per grid
+# step, looping a FIXED K iterations over a synthetic resident row table
+# with a chosen body; the slope of time vs K is the per-iteration cost of
+# that body.  Bodies:
+#   fetch      pop a precomputed node id, read row[0] only (loop + scalar
+#              stack + row-fetch dependency stall)
+#   fetch2     same but TWO independent row fetches per iteration (tests
+#              whether the fetch latency pipelines)
+#   internal   full 8-child slab test + reductions (no sort, no push)
+#   sort       internal + Batcher sort + 8 conditional pushes (sp reset
+#              each iter) == the real internal body
+#   leaf2/leaf6/leaf12  Moller-Trumbore tests on 2/6/12 triangles + state
+#              updates (12 == a candidate two-leaf iteration)
+#
+# Run on the real chip: python tools/prof42_itercost.py
+import functools
+import os, sys, time
+
+sys.path.insert(0, "/root/repo")
+import jax
+import jax.numpy as jnp
+import numpy as np
+from jax.experimental import pallas as pl
+from jax.experimental.pallas import tpu as pltpu
+
+from buas_pathtracer_tpu.ops.pallas_packet import (BS, BL, _SORT_PAIRS, BIG_T)
+
+INTERP = os.environ.get("PROF42_INTERPRET", "0") == "1"  # CPU smoke
+NB = 2 if INTERP else 64     # blocks per launch (grid steps)
+ROWS = 4096                  # synthetic table rows
+ROW_W = 64
+
+
+def make_kernel(body: str, K: int):
+    def kernel(rows_ref, ox, oy, oz, dx, dy, dz, out, stack):
+        o = (ox[:], oy[:], oz[:])
+        d = (dx[:], dy[:], dz[:])
+        inv = tuple(1.0 / jnp.where(jnp.abs(c) > 1e-12, c, 1e12) for c in d)
+        acc0 = jnp.zeros((BS, BL), jnp.float32)
+
+        # preload a fake stack of node ids (block-varying, data-dependent)
+        base = pl.program_id(0) * 7
+
+        def loop(i, carry):
+            acc, t, sp = carry
+            cur = stack[jnp.bitwise_and(sp, 63)]
+            sp = sp + 1
+            row = rows_ref[(cur + base + i) % ROWS]
+            if body == "fetch":
+                acc = acc + row[0]
+                return acc, t, sp
+            if body == "fetch2":
+                row2 = rows_ref[(cur + base + i + 17) % ROWS]
+                acc = acc + row[0] + row2[0]
+                return acc, t, sp
+            if body in ("internal", "sort"):
+                keys = []
+                for c in range(8):
+                    s = 2 + 6 * c
+                    t1x = (row[s + 0] - o[0]) * inv[0]
+                    t2x = (row[s + 3] - o[0]) * inv[0]
+                    t1y = (row[s + 1] - o[1]) * inv[1]
+                    t2y = (row[s + 4] - o[1]) * inv[1]
+                    t1z = (row[s + 2] - o[2]) * inv[2]
+                    t2z = (row[s + 5] - o[2]) * inv[2]
+                    tn = jnp.maximum(jnp.maximum(jnp.minimum(t1x, t2x),
+                                                 jnp.minimum(t1y, t2y)),
+                                     jnp.minimum(t1z, t2z))
+                    tf = jnp.minimum(jnp.minimum(jnp.maximum(t1x, t2x),
+                                                 jnp.maximum(t1y, t2y)),
+                                     jnp.maximum(t1z, t2z))
+                    hit = (tn < tf) & (tf > 0.0) & (tn < t)
+                    tmin = jnp.min(jnp.where(hit, jnp.maximum(tn, 0.0),
+                                             BIG_T))
+                    keys.append(jnp.where(tmin < BIG_T, tmin,
+                                          jnp.float32(BIG_T * 2.0)))
+                if body == "sort":
+                    pays = [jnp.int32(c) for c in range(8)]
+                    for (a, b) in _SORT_PAIRS:
+                        swap = keys[a] > keys[b]
+                        ka = jnp.where(swap, keys[b], keys[a])
+                        kb = jnp.where(swap, keys[a], keys[b])
+                        pa = jnp.where(swap, pays[b], pays[a])
+                        pb = jnp.where(swap, pays[a], pays[b])
+                        keys[a], keys[b], pays[a], pays[b] = ka, kb, pa, pb
+                    spw = jnp.bitwise_and(sp, 31) + 32
+                    for j in range(7, -1, -1):
+                        ok = keys[j] < BIG_T * 2.0
+                        idx = jnp.where(ok, spw, jnp.int32(127))
+                        stack[idx] = jnp.where(ok, pays[j] + 1, stack[idx])
+                        spw = spw + ok.astype(jnp.int32)
+                acc = acc + keys[0]
+                return acc, t, sp
+            # leaf bodies: leafN = N Moller-Trumbore tests + state updates
+            ntri = int(body[4:])
+            t_l = t
+            for k in range(ntri):
+                s = 8 + 9 * (k % 6)
+                ax_, ay_, az_ = row[s], row[s + 1], row[s + 2]
+                e1x, e1y, e1z = row[s + 3], row[s + 4], row[s + 5]
+                e2x, e2y, e2z = row[s + 6], row[s + 7], row[s + 8]
+                pvx = d[1] * e2z - d[2] * e2y
+                pvy = d[2] * e2x - d[0] * e2z
+                pvz = d[0] * e2y - d[1] * e2x
+                det = e1x * pvx + e1y * pvy + e1z * pvz
+                ok = (det <= -1e-9) | (det >= 1e-9)
+                inv_det = 1.0 / jnp.where(ok, det, 1.0)
+                tvx, tvy, tvz = o[0] - ax_, o[1] - ay_, o[2] - az_
+                v_ = (tvx * pvx + tvy * pvy + tvz * pvz) * inv_det
+                ok = ok & (v_ >= 0.0) & (v_ <= 1.0)
+                qvx = tvy * e1z - tvz * e1y
+                qvy = tvz * e1x - tvx * e1z
+                qvz = tvx * e1y - tvy * e1x
+                w_ = (d[0] * qvx + d[1] * qvy + d[2] * qvz) * inv_det
+                ok = ok & (w_ >= 0.0) & (v_ + w_ <= 1.0)
+                t_new = (e2x * qvx + e2y * qvy + e2z * qvz) * inv_det
+                ok = ok & (t_new >= 1e-9) & (t_l >= t_new)
+                t_l = jnp.where(ok, t_new, t_l)
+            acc = acc + t_l
+            return acc, t_l, sp
+
+        t0v = jnp.full((BS, BL), BIG_T)
+        for i in range(8):
+            stack[i] = jnp.int32(i + 1)
+        acc, _, _ = jax.lax.fori_loop(
+            0, K, loop, (acc0, t0v, jnp.int32(0)))
+        out[:] = acc
+
+    return kernel
+
+
+def run(body, K, rows, rays):
+    blk = lambda: pl.BlockSpec((None, BS, BL), lambda i: (i, 0, 0),
+                               memory_space=pltpu.VMEM)
+    f = pl.pallas_call(
+        make_kernel(body, K),
+        out_shape=jax.ShapeDtypeStruct((NB, BS, BL), jnp.float32),
+        grid_spec=pltpu.PrefetchScalarGridSpec(
+            num_scalar_prefetch=0,
+            grid=(NB,),
+            in_specs=[pl.BlockSpec(memory_space=pltpu.VMEM)]
+            + [blk() for _ in range(6)],
+            out_specs=blk(),
+            scratch_shapes=[pltpu.SMEM((128,), jnp.int32)],
+        ),
+        interpret=INTERP,
+        compiler_params=pltpu.CompilerParams(
+            vmem_limit_bytes=48 * 1024 * 1024),
+    )
+    g = jax.jit(lambda rw, *rs: f(rw, *rs).sum())
+    _ = np.asarray(g(rows, *rays))  # compile+warm
+    ts = []
+    for r in range(3):
+        t0 = time.perf_counter()
+        _ = np.asarray(g(rows + jnp.float32(r) * 1e-9, *rays))
+        ts.append(time.perf_counter() - t0)
+    return min(ts)
+
+
+def main():
+    rng = np.random.RandomState(0)
+    rows = jnp.asarray(rng.rand(ROWS, ROW_W).astype(np.float32) * 4.0)
+    rays = tuple(jnp.asarray(rng.rand(NB, BS, BL).astype(np.float32) - 0.5)
+                 for _ in range(6))
+    print(f"devices: {jax.devices()}", flush=True)
+    K1, K2 = (2, 8) if INTERP else (64, 512)
+    for body in ("fetch", "fetch2", "internal", "sort",
+                 "leaf2", "leaf6", "leaf12"):
+        tA = run(body, K1, rows, rays)
+        tB = run(body, K2, rows, rays)
+        per = (tB - tA) / (K2 - K1) / NB * 1e9
+        print(f"{body:9s}: K{K1} {tA*1e3:7.2f} ms  K{K2} {tB*1e3:7.2f} ms"
+              f"  -> {per:7.1f} ns/iter/block", flush=True)
+    print("PROF42 DONE", flush=True)
+
+
+if __name__ == "__main__":
+    main()
