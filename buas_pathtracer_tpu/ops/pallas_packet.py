@@ -786,7 +786,7 @@ LAG = 4   # iterations a leaf copy stays in flight before its wait
 
 
 def _kernel_v4(res_ref, leaf_ref, ox, oy, oz, dx, dy, dz, t0r, ignr,
-               *refs, occlusion: bool):
+               *refs, occlusion: bool, V4_LPI: int = 2):
     """Leaf-DMA packet walk (v4) for tables too big to stay VMEM-resident.
 
     The internal tree + analytic prims (wide_bvh.split_for_dma) stay
@@ -849,25 +849,37 @@ def _kernel_v4(res_ref, leaf_ref, ox, oy, oz, dx, dy, dz, t0r, ignr,
 
             @pl.when(do_leaf)
             def _leaf():
-                slot = jnp.bitwise_and(qh, QS - 1)
-                lidx = lq[slot]
-                pltpu.make_async_copy(leaf_ref.at[lidx], slots.at[slot],
-                                      sems.at[slot]).wait()
-                row = slots[slot]
-                t_l, prim_l, tri_l, bv_l, bw_l, count = _tri_updates(
-                    row, o, d, ign, active, to[:], po[:], tro[:], bvo[:],
-                    bwo[:], occlusion)
-                if occlusion:
-                    po[:] = prim_l
-                else:
-                    to[:] = t_l
-                    po[:] = prim_l
-                    tro[:] = tri_l
-                    bvo[:] = bv_l
-                    bwo[:] = bw_l
-                so[0, 1] = so[0, 1] + count \
-                    * jnp.sum(active.astype(jnp.int32))
-                st_ref[1] = qh + 1
+                # consume up to V4_LPI ring entries per leaf step: one leaf
+                # row per iteration leaves the fixed per-iteration cost
+                # (loop + wait + dependency stall) unamortized — same
+                # finding as v5's multi-leaf iterations (tools/prof41);
+                # adjacent entries were started together by their parent's
+                # internal step, so the second wait rarely stalls
+                for rep in range(V4_LPI):
+                    @pl.when((st_ref[2] - st_ref[1]) > 0 if rep
+                             else jnp.bool_(True))
+                    def _one():
+                        qh_i = st_ref[1]
+                        slot = jnp.bitwise_and(qh_i, QS - 1)
+                        lidx = lq[slot]
+                        pltpu.make_async_copy(leaf_ref.at[lidx],
+                                              slots.at[slot],
+                                              sems.at[slot]).wait()
+                        row = slots[slot]
+                        t_l, prim_l, tri_l, bv_l, bw_l, count = _tri_updates(
+                            row, o, d, ign, active, to[:], po[:], tro[:],
+                            bvo[:], bwo[:], occlusion)
+                        if occlusion:
+                            po[:] = prim_l
+                        else:
+                            to[:] = t_l
+                            po[:] = prim_l
+                            tro[:] = tri_l
+                            bvo[:] = bv_l
+                            bwo[:] = bw_l
+                        so[0, 1] = so[0, 1] + count \
+                            * jnp.sum(active.astype(jnp.int32))
+                        st_ref[1] = qh_i + 1
 
             @pl.when(~do_leaf)
             def _node():
@@ -961,19 +973,20 @@ def packet_traverse(rows, o: Vec3, d: Vec3, t0, ignored_prim,
     v2 = _os.environ.get("BUAS_PACKET_V1", "0") != "1"
     v5 = _os.environ.get("BUAS_PACKET_V5", "0") == "1" and v4_tables is None
     lpi = int(_os.environ.get("BUAS_V5_LPI", "4"))
+    v4_lpi = int(_os.environ.get("BUAS_V4_LPI", "2"))
     return _packet_traverse(rows, v4_tables, o, d, t0, ignored_prim,
                             occlusion=occlusion, interpret=interpret, v2=v2,
                             v5=v5, groups=groups if v5 else 1,
-                            lpi=lpi if v5 else 1)
+                            lpi=lpi if v5 else 1, v4_lpi=v4_lpi)
 
 
 @functools.partial(jax.jit,
                    static_argnames=("occlusion", "interpret", "v2", "v5",
-                                    "groups", "lpi"))
+                                    "groups", "lpi", "v4_lpi"))
 def _packet_traverse(rows, v4_tables, o: Vec3, d: Vec3, t0, ignored_prim,
                      occlusion: bool = False, interpret: bool = False,
                      v2: bool = True, v5: bool = False, groups: int = 1,
-                     lpi: int = 1):
+                     lpi: int = 1, v4_lpi: int = 2):
     """Jitted body of :func:`packet_traverse`.
 
     Returns (t, prim, tri, bv, bw, node_visits, tri_tests) like
@@ -1022,7 +1035,8 @@ def _packet_traverse(rows, v4_tables, o: Vec3, d: Vec3, t0, ignored_prim,
             ],
         )
         outs = pl.pallas_call(
-            functools.partial(_kernel_v4, occlusion=occlusion),
+            functools.partial(_kernel_v4, occlusion=occlusion,
+                              V4_LPI=v4_lpi),
             out_shape=out_shapes,
             grid_spec=grid_spec,
             interpret=interpret,
