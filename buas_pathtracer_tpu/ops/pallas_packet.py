@@ -478,7 +478,7 @@ LQ_CAP = 96  # per-group leaf/prim queue slots (force-drain keeps it < cap)
 
 
 def _kernel_v5(rows_ref, ox, oy, oz, dx, dy, dz, t0r, ignr, *refs,
-               occlusion: bool, G: int, LPI: int):
+               occlusion: bool, G: int, LPI: int, UNROLL: int = 1):
     """Grouped walk kernel (v5): G independent walks per (8,128) block,
     each owning 8/G sublane rows, with KIND-UNIFORM iterations and up to
     LPI leaf rows consumed per leaf iteration.
@@ -563,206 +563,210 @@ def _kernel_v5(rows_ref, ox, oy, oz, dx, dy, dz, t0r, ignr, *refs,
             return pending > 0
 
         def body(_):
-            n_int = jnp.int32(0)
-            n_leaf = jnp.int32(0)
-            max_lq = jnp.int32(0)
-            for g in range(G):
-                n_int = n_int + (sps[g] > 0).astype(jnp.int32)
-                n_leaf = n_leaf + (lqs[g] > 0).astype(jnp.int32)
-                max_lq = jnp.maximum(max_lq, lqs[g])
-            do_leaf = ((n_leaf > n_int) | (n_int == 0)
-                       | (max_lq >= LQ_CAP - 8 * LPI))
-            active = active_now()
-            so[0, 0] = so[0, 0] + jnp.sum(active.astype(jnp.int32))
-
-            @pl.when(~do_leaf)
-            def _internal():
-                t = to[:]
-                readys = [sps[g] > 0 for g in range(G)]
-                curs = [stacks[g, jnp.maximum(sps[g] - 1, 0)]
-                        for g in range(G)]
+            def micro(_u):
+                n_int = jnp.int32(0)
+                n_leaf = jnp.int32(0)
+                max_lq = jnp.int32(0)
                 for g in range(G):
-                    sps[g] = sps[g] - readys[g].astype(jnp.int32)
-                nodes = fetch_rows(curs)
-                afull = active & gvec(readys)
+                    n_int = n_int + (sps[g] > 0).astype(jnp.int32)
+                    n_leaf = n_leaf + (lqs[g] > 0).astype(jnp.int32)
+                    max_lq = jnp.maximum(max_lq, lqs[g])
+                do_leaf = ((n_leaf > n_int) | (n_int == 0)
+                           | (max_lq >= LQ_CAP - 8 * LPI))
+                active = active_now()
+                so[0, 0] = so[0, 0] + jnp.sum(active.astype(jnp.int32))
 
-                keys, pays, kinds = [], [], []
-                for c in range(WIDE):
-                    s = 2 + 6 * c
-                    t1x = (col(nodes, s + 0) - o.x) * inv_d.x
-                    t2x = (col(nodes, s + 3) - o.x) * inv_d.x
-                    t1y = (col(nodes, s + 1) - o.y) * inv_d.y
-                    t2y = (col(nodes, s + 4) - o.y) * inv_d.y
-                    t1z = (col(nodes, s + 2) - o.z) * inv_d.z
-                    t2z = (col(nodes, s + 5) - o.z) * inv_d.z
-                    tn = jnp.maximum(jnp.maximum(jnp.minimum(t1x, t2x),
-                                                 jnp.minimum(t1y, t2y)),
-                                     jnp.minimum(t1z, t2z))
-                    tf = jnp.minimum(jnp.minimum(jnp.maximum(t1x, t2x),
-                                                 jnp.maximum(t1y, t2y)),
-                                     jnp.maximum(t1z, t2z))
-                    hit_c = (tn < tf) & (tf > 0.0) & (tn < t) & afull
-                    tmin = gred_min(jnp.where(hit_c, jnp.maximum(tn, 0.0),
-                                              BIG_T), BIG_T)
-                    keys.append(jnp.where(tmin < BIG_T, tmin,
-                                          jnp.float32(BIG_T * 2.0)))
-                    pays.append(tmin * 0.0 + jnp.float32(c))
-                    kinds.append(coli(nodes, 50 + c) + jnp.int32(0))
-                if not occlusion:
-                    # nearest-first per group: Batcher network with the
-                    # payload and kind codes swapped in parallel
-                    for (i, j) in _SORT_PAIRS:
-                        swap = keys[i] > keys[j]
-                        ki = jnp.where(swap, keys[j], keys[i])
-                        kj = jnp.where(swap, keys[i], keys[j])
-                        pi = jnp.where(swap, pays[j], pays[i])
-                        pj = jnp.where(swap, pays[i], pays[j])
-                        qi = jnp.where(swap, kinds[j], kinds[i])
-                        qj = jnp.where(swap, kinds[i], kinds[j])
-                        keys[i], keys[j] = ki, kj
-                        pays[i], pays[j] = pi, pj
-                        kinds[i], kinds[j] = qi, qj
-                # route each (group, sorted slot): internal children onto
-                # the group's stack farthest-first (nearest pops first),
-                # leaf/prim children onto its queue (prim sign-encoded).
-                # A group with no ready node has afull=0 rows -> no hits
-                # -> nothing routed, so no extra ready guard is needed.
-                base = coli(nodes, 1)
-                order = range(WIDE - 1, -1, -1) if not occlusion \
-                    else range(WIDE)
-                for j in order:
-                    for g in range(G):
-                        if G == 8:
-                            ok = keys[j][g, 0] < BIG_T * 2.0
-                            kd = kinds[j][g, 0]
-                            slot = base[g, 0] \
-                                + pays[j][g, 0].astype(jnp.int32)
-                        else:
-                            ok = keys[j] < BIG_T * 2.0
-                            kd = kinds[j]
-                            slot = base + pays[j].astype(jnp.int32)
-                        is_int = ok & (kd == KIND_INTERNAL)
-                        spg = sps[g]
-                        idx = jnp.where(is_int, spg, jnp.int32(STACK))
-                        stacks[g, idx] = jnp.where(is_int, slot,
-                                                   stacks[g, idx])
-                        sps[g] = spg + is_int.astype(jnp.int32)
-                        is_lp = ok & ((kd == KIND_TRIS)
-                                      | (kd == KIND_PRIM))
-                        enc = jnp.where(kd == KIND_TRIS, slot, -slot - 1)
-                        lqg = lqs[g]
-                        idx2 = jnp.where(is_lp, lqg, jnp.int32(LQ_CAP))
-                        leafq[g, idx2] = jnp.where(is_lp, enc,
-                                                   leafq[g, idx2])
-                        lqs[g] = lqg + is_lp.astype(jnp.int32)
-
-            @pl.when(do_leaf)
-            def _leaf():
-                for _rep in range(LPI):
-                    readys = [lqs[g] > 0 for g in range(G)]
-                    encs = [leafq[g, jnp.maximum(lqs[g] - 1, 0)]
+                @pl.when(~do_leaf)
+                def _internal():
+                    t = to[:]
+                    readys = [sps[g] > 0 for g in range(G)]
+                    curs = [stacks[g, jnp.maximum(sps[g] - 1, 0)]
                             for g in range(G)]
                     for g in range(G):
-                        lqs[g] = lqs[g] - readys[g].astype(jnp.int32)
-                    rowidx = [jnp.where(encs[g] >= 0, encs[g],
-                                        -encs[g] - 1) for g in range(G)]
-                    nodes = fetch_rows(rowidx)
-                    tri_rows = gvec([readys[g] & (encs[g] >= 0)
-                                     for g in range(G)])
-                    prim_rows = gvec([readys[g] & (encs[g] < 0)
-                                      for g in range(G)])
-                    act = active_now()
-                    t_l = to[:]
+                        sps[g] = sps[g] - readys[g].astype(jnp.int32)
+                    nodes = fetch_rows(curs)
+                    afull = active & gvec(readys)
 
-                    # --- triangle body, masked to tri-entry groups ------
-                    count = coli(nodes, 1)
-                    tri_base = coli(nodes, 2)
-                    inst_t = coli(nodes, 3)
-                    not_ign = inst_t != ign
-                    for k in range(WIDE_LEAF):
-                        s = 8 + 9 * k
-                        ax_, ay_, az_ = (col(nodes, s + 0),
-                                         col(nodes, s + 1),
-                                         col(nodes, s + 2))
-                        e1x, e1y, e1z = (col(nodes, s + 3),
-                                         col(nodes, s + 4),
-                                         col(nodes, s + 5))
-                        e2x, e2y, e2z = (col(nodes, s + 6),
-                                         col(nodes, s + 7),
-                                         col(nodes, s + 8))
-                        pvx = d.y * e2z - d.z * e2y
-                        pvy = d.z * e2x - d.x * e2z
-                        pvz = d.x * e2y - d.y * e2x
-                        det = e1x * pvx + e1y * pvy + e1z * pvz
-                        ok = (det <= -intersect.TRI_EPS) \
-                            | (det >= intersect.TRI_EPS)
-                        inv_det = 1.0 / jnp.where(ok, det, 1.0)
-                        tvx, tvy, tvz = o.x - ax_, o.y - ay_, o.z - az_
-                        v_ = (tvx * pvx + tvy * pvy + tvz * pvz) * inv_det
-                        ok = ok & (v_ >= 0.0) & (v_ <= 1.0)
-                        qvx = tvy * e1z - tvz * e1y
-                        qvy = tvz * e1x - tvx * e1z
-                        qvz = tvx * e1y - tvy * e1x
-                        w_ = (d.x * qvx + d.y * qvy + d.z * qvz) * inv_det
-                        ok = ok & (w_ >= 0.0) & (v_ + w_ <= 1.0)
-                        t_new = (e2x * qvx + e2y * qvy + e2z * qvz) \
-                            * inv_det
-                        ok = ok & (t_new >= intersect.TRI_EPS) \
-                            & (t_l >= t_new)
-                        h = ok & not_ign & act & tri_rows & (k < count)
-                        t_l = jnp.where(h, t_new, t_l)
-                        po[:] = jnp.where(h, inst_t, po[:])
-                        if not occlusion:
-                            tro[:] = jnp.where(h, tri_base + k, tro[:])
-                            bvo[:] = jnp.where(h, v_, bvo[:])
-                            bwo[:] = jnp.where(h, w_, bwo[:])
-                    so[0, 1] = so[0, 1] + jnp.sum(jnp.where(
-                        act & tri_rows,
-                        jnp.broadcast_to(count, (BS, BL)), 0))
-
-                    # --- analytic prim body, masked to prim-entry groups -
-                    prim_id = coli(nodes, 1)
-                    ptype = coli(nodes, 2)
-                    m = [col(nodes, 4 + i) for i in range(12)]
-                    os_o = Vec3(
-                        m[0] * o.x + m[1] * o.y + m[2] * o.z + m[3],
-                        m[4] * o.x + m[5] * o.y + m[6] * o.z + m[7],
-                        m[8] * o.x + m[9] * o.y + m[10] * o.z + m[11])
-                    os_d = Vec3(m[0] * d.x + m[1] * d.y + m[2] * d.z,
-                                m[4] * d.x + m[5] * d.y + m[6] * d.z,
-                                m[8] * d.x + m[9] * d.y + m[10] * d.z)
-                    sph = ptype == PRIM_SPHERE
-                    hs, ts_ = intersect.sphere(os_o, os_d,
-                                               col(nodes, 16), t_l)
-                    hb, tb_ = intersect.box(os_o, os_d,
-                                            Vec3(col(nodes, 17),
-                                                 col(nodes, 18),
-                                                 col(nodes, 19)), t_l)
-                    ph = (prim_id != ign) & act & prim_rows \
-                        & ((hs & sph) | (hb & ~sph))
-                    t_l = jnp.where(ph, jnp.where(sph, ts_, tb_), t_l)
-                    po[:] = jnp.where(ph, prim_id, po[:])
+                    keys, pays, kinds = [], [], []
+                    for c in range(WIDE):
+                        s = 2 + 6 * c
+                        t1x = (col(nodes, s + 0) - o.x) * inv_d.x
+                        t2x = (col(nodes, s + 3) - o.x) * inv_d.x
+                        t1y = (col(nodes, s + 1) - o.y) * inv_d.y
+                        t2y = (col(nodes, s + 4) - o.y) * inv_d.y
+                        t1z = (col(nodes, s + 2) - o.z) * inv_d.z
+                        t2z = (col(nodes, s + 5) - o.z) * inv_d.z
+                        tn = jnp.maximum(jnp.maximum(jnp.minimum(t1x, t2x),
+                                                     jnp.minimum(t1y, t2y)),
+                                         jnp.minimum(t1z, t2z))
+                        tf = jnp.minimum(jnp.minimum(jnp.maximum(t1x, t2x),
+                                                     jnp.maximum(t1y, t2y)),
+                                         jnp.maximum(t1z, t2z))
+                        hit_c = (tn < tf) & (tf > 0.0) & (tn < t) & afull
+                        tmin = gred_min(jnp.where(hit_c, jnp.maximum(tn, 0.0),
+                                                  BIG_T), BIG_T)
+                        keys.append(jnp.where(tmin < BIG_T, tmin,
+                                              jnp.float32(BIG_T * 2.0)))
+                        pays.append(tmin * 0.0 + jnp.float32(c))
+                        kinds.append(coli(nodes, 50 + c) + jnp.int32(0))
                     if not occlusion:
-                        tro[:] = jnp.where(ph, -1, tro[:])
-                        to[:] = t_l
-                    # occlusion mode never tightens t: blockedness
-                    # (po >= 0) is the only state that advances
+                        # nearest-first per group: Batcher network with the
+                        # payload and kind codes swapped in parallel
+                        for (i, j) in _SORT_PAIRS:
+                            swap = keys[i] > keys[j]
+                            ki = jnp.where(swap, keys[j], keys[i])
+                            kj = jnp.where(swap, keys[i], keys[j])
+                            pi = jnp.where(swap, pays[j], pays[i])
+                            pj = jnp.where(swap, pays[i], pays[j])
+                            qi = jnp.where(swap, kinds[j], kinds[i])
+                            qj = jnp.where(swap, kinds[i], kinds[j])
+                            keys[i], keys[j] = ki, kj
+                            pays[i], pays[j] = pi, pj
+                            kinds[i], kinds[j] = qi, qj
+                    # route each (group, sorted slot): internal children onto
+                    # the group's stack farthest-first (nearest pops first),
+                    # leaf/prim children onto its queue (prim sign-encoded).
+                    # A group with no ready node has afull=0 rows -> no hits
+                    # -> nothing routed, so no extra ready guard is needed.
+                    base = coli(nodes, 1)
+                    order = range(WIDE - 1, -1, -1) if not occlusion \
+                        else range(WIDE)
+                    for j in order:
+                        for g in range(G):
+                            if G == 8:
+                                ok = keys[j][g, 0] < BIG_T * 2.0
+                                kd = kinds[j][g, 0]
+                                slot = base[g, 0] \
+                                    + pays[j][g, 0].astype(jnp.int32)
+                            else:
+                                ok = keys[j] < BIG_T * 2.0
+                                kd = kinds[j]
+                                slot = base + pays[j].astype(jnp.int32)
+                            is_int = ok & (kd == KIND_INTERNAL)
+                            spg = sps[g]
+                            idx = jnp.where(is_int, spg, jnp.int32(STACK))
+                            stacks[g, idx] = jnp.where(is_int, slot,
+                                                       stacks[g, idx])
+                            sps[g] = spg + is_int.astype(jnp.int32)
+                            is_lp = ok & ((kd == KIND_TRIS)
+                                          | (kd == KIND_PRIM))
+                            enc = jnp.where(kd == KIND_TRIS, slot, -slot - 1)
+                            lqg = lqs[g]
+                            idx2 = jnp.where(is_lp, lqg, jnp.int32(LQ_CAP))
+                            leafq[g, idx2] = jnp.where(is_lp, enc,
+                                                       leafq[g, idx2])
+                            lqs[g] = lqg + is_lp.astype(jnp.int32)
 
-            if occlusion:
-                # per-GROUP early exit: a group whose live rays are all
-                # blocked drains its own stack+queue (finer than v2's
-                # whole-block exit)
-                open_ = live0 & (po[:] < 0)
-                if G == 8:
-                    open_g = jnp.any(open_, axis=1, keepdims=True)
-                    for g in range(G):
-                        keep = open_g[g, 0]
-                        sps[g] = jnp.where(keep, sps[g], 0)
-                        lqs[g] = jnp.where(keep, lqs[g], 0)
-                else:
-                    keep = jnp.any(open_)
-                    sps[0] = jnp.where(keep, sps[0], 0)
-                    lqs[0] = jnp.where(keep, lqs[0], 0)
+                @pl.when(do_leaf)
+                def _leaf():
+                    for _rep in range(LPI):
+                        readys = [lqs[g] > 0 for g in range(G)]
+                        encs = [leafq[g, jnp.maximum(lqs[g] - 1, 0)]
+                                for g in range(G)]
+                        for g in range(G):
+                            lqs[g] = lqs[g] - readys[g].astype(jnp.int32)
+                        rowidx = [jnp.where(encs[g] >= 0, encs[g],
+                                            -encs[g] - 1) for g in range(G)]
+                        nodes = fetch_rows(rowidx)
+                        tri_rows = gvec([readys[g] & (encs[g] >= 0)
+                                         for g in range(G)])
+                        prim_rows = gvec([readys[g] & (encs[g] < 0)
+                                          for g in range(G)])
+                        act = active_now()
+                        t_l = to[:]
+
+                        # --- triangle body, masked to tri-entry groups ------
+                        count = coli(nodes, 1)
+                        tri_base = coli(nodes, 2)
+                        inst_t = coli(nodes, 3)
+                        not_ign = inst_t != ign
+                        for k in range(WIDE_LEAF):
+                            s = 8 + 9 * k
+                            ax_, ay_, az_ = (col(nodes, s + 0),
+                                             col(nodes, s + 1),
+                                             col(nodes, s + 2))
+                            e1x, e1y, e1z = (col(nodes, s + 3),
+                                             col(nodes, s + 4),
+                                             col(nodes, s + 5))
+                            e2x, e2y, e2z = (col(nodes, s + 6),
+                                             col(nodes, s + 7),
+                                             col(nodes, s + 8))
+                            pvx = d.y * e2z - d.z * e2y
+                            pvy = d.z * e2x - d.x * e2z
+                            pvz = d.x * e2y - d.y * e2x
+                            det = e1x * pvx + e1y * pvy + e1z * pvz
+                            ok = (det <= -intersect.TRI_EPS) \
+                                | (det >= intersect.TRI_EPS)
+                            inv_det = 1.0 / jnp.where(ok, det, 1.0)
+                            tvx, tvy, tvz = o.x - ax_, o.y - ay_, o.z - az_
+                            v_ = (tvx * pvx + tvy * pvy + tvz * pvz) * inv_det
+                            ok = ok & (v_ >= 0.0) & (v_ <= 1.0)
+                            qvx = tvy * e1z - tvz * e1y
+                            qvy = tvz * e1x - tvx * e1z
+                            qvz = tvx * e1y - tvy * e1x
+                            w_ = (d.x * qvx + d.y * qvy + d.z * qvz) * inv_det
+                            ok = ok & (w_ >= 0.0) & (v_ + w_ <= 1.0)
+                            t_new = (e2x * qvx + e2y * qvy + e2z * qvz) \
+                                * inv_det
+                            ok = ok & (t_new >= intersect.TRI_EPS) \
+                                & (t_l >= t_new)
+                            h = ok & not_ign & act & tri_rows & (k < count)
+                            t_l = jnp.where(h, t_new, t_l)
+                            po[:] = jnp.where(h, inst_t, po[:])
+                            if not occlusion:
+                                tro[:] = jnp.where(h, tri_base + k, tro[:])
+                                bvo[:] = jnp.where(h, v_, bvo[:])
+                                bwo[:] = jnp.where(h, w_, bwo[:])
+                        so[0, 1] = so[0, 1] + jnp.sum(jnp.where(
+                            act & tri_rows,
+                            jnp.broadcast_to(count, (BS, BL)), 0))
+
+                        # --- analytic prim body, masked to prim-entry groups -
+                        prim_id = coli(nodes, 1)
+                        ptype = coli(nodes, 2)
+                        m = [col(nodes, 4 + i) for i in range(12)]
+                        os_o = Vec3(
+                            m[0] * o.x + m[1] * o.y + m[2] * o.z + m[3],
+                            m[4] * o.x + m[5] * o.y + m[6] * o.z + m[7],
+                            m[8] * o.x + m[9] * o.y + m[10] * o.z + m[11])
+                        os_d = Vec3(m[0] * d.x + m[1] * d.y + m[2] * d.z,
+                                    m[4] * d.x + m[5] * d.y + m[6] * d.z,
+                                    m[8] * d.x + m[9] * d.y + m[10] * d.z)
+                        sph = ptype == PRIM_SPHERE
+                        hs, ts_ = intersect.sphere(os_o, os_d,
+                                                   col(nodes, 16), t_l)
+                        hb, tb_ = intersect.box(os_o, os_d,
+                                                Vec3(col(nodes, 17),
+                                                     col(nodes, 18),
+                                                     col(nodes, 19)), t_l)
+                        ph = (prim_id != ign) & act & prim_rows \
+                            & ((hs & sph) | (hb & ~sph))
+                        t_l = jnp.where(ph, jnp.where(sph, ts_, tb_), t_l)
+                        po[:] = jnp.where(ph, prim_id, po[:])
+                        if not occlusion:
+                            tro[:] = jnp.where(ph, -1, tro[:])
+                            to[:] = t_l
+                        # occlusion mode never tightens t: blockedness
+                        # (po >= 0) is the only state that advances
+
+                if occlusion:
+                    # per-GROUP early exit: a group whose live rays are all
+                    # blocked drains its own stack+queue (finer than v2's
+                    # whole-block exit)
+                    open_ = live0 & (po[:] < 0)
+                    if G == 8:
+                        open_g = jnp.any(open_, axis=1, keepdims=True)
+                        for g in range(G):
+                            keep = open_g[g, 0]
+                            sps[g] = jnp.where(keep, sps[g], 0)
+                            lqs[g] = jnp.where(keep, lqs[g], 0)
+                    else:
+                        keep = jnp.any(open_)
+                        sps[0] = jnp.where(keep, sps[0], 0)
+                        lqs[0] = jnp.where(keep, lqs[0], 0)
+
+            for _u in range(UNROLL):
+                micro(_u)
 
             pending = jnp.int32(0)
             for g in range(G):
@@ -973,20 +977,22 @@ def packet_traverse(rows, o: Vec3, d: Vec3, t0, ignored_prim,
     v2 = _os.environ.get("BUAS_PACKET_V1", "0") != "1"
     v5 = _os.environ.get("BUAS_PACKET_V5", "0") == "1" and v4_tables is None
     lpi = int(_os.environ.get("BUAS_V5_LPI", "4"))
+    unroll = int(_os.environ.get("BUAS_V5_UNROLL", "1"))
     v4_lpi = int(_os.environ.get("BUAS_V4_LPI", "2"))
     return _packet_traverse(rows, v4_tables, o, d, t0, ignored_prim,
                             occlusion=occlusion, interpret=interpret, v2=v2,
                             v5=v5, groups=groups if v5 else 1,
-                            lpi=lpi if v5 else 1, v4_lpi=v4_lpi)
+                            lpi=lpi if v5 else 1, unroll=unroll if v5 else 1,
+                            v4_lpi=v4_lpi)
 
 
 @functools.partial(jax.jit,
                    static_argnames=("occlusion", "interpret", "v2", "v5",
-                                    "groups", "lpi", "v4_lpi"))
+                                    "groups", "lpi", "unroll", "v4_lpi"))
 def _packet_traverse(rows, v4_tables, o: Vec3, d: Vec3, t0, ignored_prim,
                      occlusion: bool = False, interpret: bool = False,
                      v2: bool = True, v5: bool = False, groups: int = 1,
-                     lpi: int = 1, v4_lpi: int = 2):
+                     lpi: int = 1, unroll: int = 1, v4_lpi: int = 2):
     """Jitted body of :func:`packet_traverse`.
 
     Returns (t, prim, tri, bv, bw, node_visits, tri_tests) like
@@ -1062,7 +1068,7 @@ def _packet_traverse(rows, v4_tables, o: Vec3, d: Vec3, t0, ignored_prim,
             ],
         )
         kernel = functools.partial(_kernel_v5, occlusion=occlusion,
-                                   G=groups, LPI=lpi)
+                                   G=groups, LPI=lpi, UNROLL=unroll)
     else:
         grid_spec = pltpu.PrefetchScalarGridSpec(
             num_scalar_prefetch=0,
