@@ -659,6 +659,12 @@ def _kernel_v5(rows_ref, ox, oy, oz, dx, dy, dz, t0r, ignr, *refs,
 
                 @pl.when(do_leaf)
                 def _leaf():
+                    # pop ALL LPI entries and issue every row fetch before
+                    # any vector processing: the scalar queue pops are the
+                    # only cross-rep dependency, so the (latency-bound)
+                    # fetches overlap instead of serializing behind each
+                    # rep's Moller-Trumbore math
+                    reps = []
                     for _rep in range(LPI):
                         readys = [lqs[g] > 0 for g in range(G)]
                         encs = [leafq[g, jnp.maximum(lqs[g] - 1, 0)]
@@ -667,7 +673,8 @@ def _kernel_v5(rows_ref, ox, oy, oz, dx, dy, dz, t0r, ignr, *refs,
                             lqs[g] = lqs[g] - readys[g].astype(jnp.int32)
                         rowidx = [jnp.where(encs[g] >= 0, encs[g],
                                             -encs[g] - 1) for g in range(G)]
-                        nodes = fetch_rows(rowidx)
+                        reps.append((readys, encs, fetch_rows(rowidx)))
+                    for readys, encs, nodes in reps:
                         tri_rows = gvec([readys[g] & (encs[g] >= 0)
                                          for g in range(G)])
                         prim_rows = gvec([readys[g] & (encs[g] < 0)
