@@ -546,9 +546,14 @@ def _kernel_v5(rows_ref, ox, oy, oz, dx, dy, dz, t0r, ignr, *refs,
         return c.astype(jnp.int32)
 
     def gvec(scalars):
-        """G group booleans -> a mask broadcastable over (8,128)."""
+        """G group booleans -> a mask broadcastable over (8,128).
+
+        Mosaic can't insert a minor dim on vector<8xi1> ("Insertion of
+        minor dim that is not a no-op only supported for 32-bit types"),
+        so stack through int32 and compare back to bool."""
         if G == 8:
-            return jnp.stack(list(scalars)).reshape(8, 1)
+            i = jnp.stack([s.astype(jnp.int32) for s in scalars])
+            return i.reshape(8, 1) != 0
         return scalars[0]
 
     def gred_min(x, fill):
@@ -762,9 +767,12 @@ def _kernel_v5(rows_ref, ox, oy, oz, dx, dy, dz, t0r, ignr, *refs,
                     # whole-block exit)
                     open_ = live0 & (po[:] < 0)
                     if G == 8:
-                        open_g = jnp.any(open_, axis=1, keepdims=True)
+                        # int32 because Mosaic can only squeeze 32-bit
+                        # scalars out of a vector
+                        open_g = jnp.any(open_, axis=1,
+                                         keepdims=True).astype(jnp.int32)
                         for g in range(G):
-                            keep = open_g[g, 0]
+                            keep = open_g[g, 0] != 0
                             sps[g] = jnp.where(keep, sps[g], 0)
                             lqs[g] = jnp.where(keep, lqs[g], 0)
                     else:
@@ -976,15 +984,27 @@ def packet_traverse(rows, o: Vec3, d: Vec3, t0, ignored_prim,
     HERE, at trace time, and forwarded as a jit-STATIC argument: reading the
     env inside the traced body would be frozen into the first-traced jaxpr
     and silently ignored on later flips (the inner jit cache keys on avals,
-    not env).  ``v4_tables=(res_rows, leaf_rows)`` selects the leaf-DMA
+    not env).  ``BUAS_PACKET_V5`` defaults to ``auto``: the grouped v5
+    kernel for compacted (groups=8) closest-hit waves, v2 for coherent and
+    occlusion walks — the measured winner per wave shape (prof43).  ``v4_tables=(res_rows, leaf_rows)`` selects the leaf-DMA
     kernel for tables too big to keep VMEM-resident (the structure
     difference keys the jit cache).  ``groups`` is the v5 walk-group count
     the caller picks per wave shape (1 = coherent/natural order, 8 =
     compacted incoherent); ignored by v1/v2/v4."""
     v2 = _os.environ.get("BUAS_PACKET_V1", "0") != "1"
-    v5 = _os.environ.get("BUAS_PACKET_V5", "0") == "1" and v4_tables is None
-    lpi = int(_os.environ.get("BUAS_V5_LPI", "4"))
-    unroll = int(_os.environ.get("BUAS_V5_UNROLL", "1"))
+    v5_env = _os.environ.get("BUAS_PACKET_V5", "auto")
+    if v5_env == "auto":
+        # Measured on the real 1080p waves (tools/prof43, on chip,
+        # docs/PERFORMANCE.md round 4b): v5 G=8 wins the compacted
+        # incoherent closest-hit wave 1.95x (123.2 ms vs v2's 240.5), but
+        # LOSES natural-order coherent walks (32.3 vs 22.9 ms primary) and
+        # compacted occlusion (39.1 vs 26.6 ms raw) — route v5 only to
+        # grouped non-occlusion waves, v2 everywhere else.
+        v5 = groups == 8 and not occlusion and v4_tables is None
+    else:
+        v5 = v5_env == "1" and v4_tables is None
+    lpi = int(_os.environ.get("BUAS_V5_LPI", "8"))
+    unroll = int(_os.environ.get("BUAS_V5_UNROLL", "2"))
     v4_lpi = int(_os.environ.get("BUAS_V4_LPI", "2"))
     return _packet_traverse(rows, v4_tables, o, d, t0, ignored_prim,
                             occlusion=occlusion, interpret=interpret, v2=v2,

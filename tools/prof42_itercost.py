@@ -58,7 +58,8 @@ def make_kernel(body: str, K: int):
                 row2 = rows_ref[(cur + base + i + 17) % ROWS]
                 acc = acc + row[0] + row2[0]
                 return acc, t, sp
-            if body in ("internal", "sort"):
+            if body in ("internal", "sort", "rank", "stores8", "sortnc",
+                        "sortst", "push1"):
                 keys = []
                 for c in range(8):
                     s = 2 + 6 * c
@@ -79,7 +80,34 @@ def make_kernel(body: str, K: int):
                                              BIG_T))
                     keys.append(jnp.where(tmin < BIG_T, tmin,
                                           jnp.float32(BIG_T * 2.0)))
-                if body == "sort":
+                if body == "rank":
+                    # rank-based ordered push: slot = sp + (# hit children
+                    # with strictly greater key, ties by index).  Nearest
+                    # child gets the top slot (popped first) — same order
+                    # as the Batcher network, but the 28 pairwise compares
+                    # are dependency-FREE (the 19-stage select chain is
+                    # serial), so the scalar unit can pipeline them.
+                    hits = [k < BIG_T * 2.0 for k in keys]
+                    spw = jnp.bitwise_and(sp, 31) + 32
+                    for c in range(8):
+                        r = jnp.int32(0)
+                        for c2 in range(8):
+                            if c2 == c:
+                                continue
+                            gt = ((keys[c2] > keys[c])
+                                  | ((keys[c2] == keys[c]) & (c2 > c)))
+                            r = r + (gt & hits[c2]).astype(jnp.int32)
+                        ok = hits[c]
+                        idx = jnp.where(ok, spw + r, jnp.int32(127))
+                        stack[idx] = jnp.where(ok, jnp.int32(c + 1),
+                                               stack[idx])
+                if body == "stores8":
+                    # 8 unconditional dynamic stores, NO ordering network:
+                    # isolates raw store cost from the sort.
+                    spw = jnp.bitwise_and(sp, 31) + 32
+                    for j in range(8):
+                        stack[spw + j] = jnp.int32(j + 1)
+                if body in ("sort", "sortnc", "sortst", "push1"):
                     pays = [jnp.int32(c) for c in range(8)]
                     for (a, b) in _SORT_PAIRS:
                         swap = keys[a] > keys[b]
@@ -89,11 +117,37 @@ def make_kernel(body: str, K: int):
                         pb = jnp.where(swap, pays[a], pays[b])
                         keys[a], keys[b], pays[a], pays[b] = ka, kb, pa, pb
                     spw = jnp.bitwise_and(sp, 31) + 32
-                    for j in range(7, -1, -1):
-                        ok = keys[j] < BIG_T * 2.0
-                        idx = jnp.where(ok, spw, jnp.int32(127))
-                        stack[idx] = jnp.where(ok, pays[j] + 1, stack[idx])
-                        spw = spw + ok.astype(jnp.int32)
+                    if body == "sort":
+                        for j in range(7, -1, -1):
+                            ok = keys[j] < BIG_T * 2.0
+                            idx = jnp.where(ok, spw, jnp.int32(127))
+                            stack[idx] = jnp.where(ok, pays[j] + 1,
+                                                   stack[idx])
+                            spw = spw + ok.astype(jnp.int32)
+                    if body == "sortnc":
+                        # same sorted conditional-slot push but the VALUE is
+                        # stored unconditionally (junk slot 127 swallows
+                        # non-hits) — no read-modify-write per store.
+                        for j in range(7, -1, -1):
+                            ok = keys[j] < BIG_T * 2.0
+                            idx = jnp.where(ok, spw, jnp.int32(127))
+                            stack[idx] = pays[j] + 1
+                            spw = spw + ok.astype(jnp.int32)
+                    if body == "sortst":
+                        # static store indices: bounds the cost of index
+                        # DYNAMISM (compact-on-pop would allow this form).
+                        for j in range(8):
+                            stack[32 + j] = pays[j] + 1
+                    if body == "push1":
+                        # pack the sorted hit-children order into ONE int32
+                        # (4 bits per child: index+1, 0 = end) and store a
+                        # single stack entry — the packed-push candidate.
+                        packed = jnp.int32(0)
+                        for j in range(8):
+                            ok = keys[j] < BIG_T * 2.0
+                            packed = jnp.where(
+                                ok, packed * 16 + (pays[j] + 1), packed)
+                        stack[spw] = packed
                 acc = acc + keys[0]
                 return acc, t, sp
             # leaf bodies: leafN = N Moller-Trumbore tests + state updates
@@ -169,8 +223,11 @@ def main():
                  for _ in range(6))
     print(f"devices: {jax.devices()}", flush=True)
     K1, K2 = (2, 8) if INTERP else (64, 512)
-    for body in ("fetch", "fetch2", "internal", "sort",
-                 "leaf2", "leaf6", "leaf12"):
+    import sys as _s
+    sel = _s.argv[1:] or ["fetch", "fetch2", "internal", "sort", "rank",
+                          "stores8", "sortnc", "sortst", "push1",
+                          "leaf2", "leaf6", "leaf12"]
+    for body in sel:
         tA = run(body, K1, rows, rays)
         tB = run(body, K2, rows, rays)
         per = (tB - tA) / (K2 - K1) / NB * 1e9
