@@ -294,6 +294,55 @@ def _child_keys(row, o, inv_d, t, active, occlusion: bool):
     return keys
 
 
+# Packed-key ordered push (round 4, tools/prof42 on chip): the Batcher
+# network on (key, payload) scalar pairs costs ~1030 ns/iteration on top of
+# the slab math — and the cost is the op COUNT of the serialized 0-d
+# compare/select chain itself (rank/omask/sortnc/sortst/push1 variants all
+# measured ~equal; two interleaved chains recover only 8% ILP).  Folding
+# the child index into the low mantissa bits of the non-negative float key
+# and sorting ONE int array with min/max (no selects) measured 599 ns vs
+# 1350 for the whole internal body — 2.26x.  Int order == float order for
+# non-negative floats; masking the low bits perturbs keys by <= _PK_MASK
+# ulps, which only permutes near-ties (traversal order never changes
+# results, parity-tested).  Mosaic can't bitcast scalars, so the bitcast
+# happens on the (8,128) vector BEFORE the min-reduction.
+_PK_BITS = (WIDE - 1).bit_length()
+_PK_MASK = (1 << _PK_BITS) - 1
+_PK_SENT = int(np.float32(BIG_T * 2.0).view(np.int32)) & ~_PK_MASK
+# v5 packs [child:_PK_BITS | kind:2] into the low bits
+_PK5_MASK = (1 << (_PK_BITS + 2)) - 1
+_PK5_SENT = int(np.float32(BIG_T * 2.0).view(np.int32)) & ~_PK5_MASK
+
+
+def _child_keys_packed(row, o, inv_d, t, active):
+    """Closest-hit per-child keys as packed int32s: bits [31:_PK_BITS] are
+    the bit pattern of the block-nearest entry distance (BIG_T*2 = no ray
+    hits the child), bits [_PK_BITS:0] the child index.  Sorting these with
+    min/max yields the same nearest-first order as the float network."""
+    iks = []
+    for c in range(WIDE):
+        s = 2 + 6 * c
+        t1x = (row[s + 0] - o.x) * inv_d.x
+        t2x = (row[s + 3] - o.x) * inv_d.x
+        t1y = (row[s + 1] - o.y) * inv_d.y
+        t2y = (row[s + 4] - o.y) * inv_d.y
+        t1z = (row[s + 2] - o.z) * inv_d.z
+        t2z = (row[s + 5] - o.z) * inv_d.z
+        tn = jnp.maximum(jnp.maximum(jnp.minimum(t1x, t2x),
+                                     jnp.minimum(t1y, t2y)),
+                         jnp.minimum(t1z, t2z))
+        tf = jnp.minimum(jnp.minimum(jnp.maximum(t1x, t2x),
+                                     jnp.maximum(t1y, t2y)),
+                         jnp.maximum(t1z, t2z))
+        hit_c = (tn < tf) & (tf > 0.0) & (tn < t) & active
+        vk = jnp.where(hit_c, jnp.maximum(tn, 0.0),
+                       jnp.float32(BIG_T * 2.0))
+        ik = jnp.min(jax.lax.bitcast_convert_type(vk, jnp.int32))
+        iks.append(jnp.bitwise_or(jnp.bitwise_and(ik, jnp.int32(~_PK_MASK)),
+                                  jnp.int32(c)))
+    return iks
+
+
 def _tri_updates(row, o, d, ign, active, t_l, prim_l, tri_l, bv_l, bw_l,
                  occlusion: bool):
     """Apply one triangle-leaf row to the per-ray best-hit state; returns
@@ -374,6 +423,7 @@ def _kernel_v2(rows_ref, ox, oy, oz, dx, dy, dz, t0r, ignr,
 
     live0 = t_in >= 0.0
     any_live = jnp.any(live0)
+    nlive_s = jnp.sum(live0.astype(jnp.int32))  # loop-invariant stats base
 
     @pl.when(pl.program_id(0) == 0)
     def _init_stats():
@@ -407,6 +457,13 @@ def _kernel_v2(rows_ref, ox, oy, oz, dx, dy, dz, t0r, ignr,
             def _internal():
                 child_base = row[1].astype(jnp.int32)
                 sp_i = sp_ref[0]
+                # NOTE (round 4c, prof43 on the real primary wave): both
+                # "cheaper push" forms that win STANDALONE (prof42) LOSE
+                # in-kernel — packed-key int network 22.9 -> 30.2 ms,
+                # unconditional store values 22.9 -> 27.2 ms.  Keep the RMW
+                # conditional store + float network here; v5 keeps the
+                # packed form (its 3-array network was heavier; 120.1 ->
+                # 116.0 ms measured win).
                 keys = _child_keys(row, o, inv_d, t, active, occlusion)
                 if occlusion:
                     # any order: push every hit child as-is
@@ -445,8 +502,9 @@ def _kernel_v2(rows_ref, ox, oy, oz, dx, dy, dz, t0r, ignr,
                     tro[:] = tri_l
                     bvo[:] = bv_l
                     bwo[:] = bw_l
-                so[0, 1] = so[0, 1] + count \
-                    * jnp.sum(active.astype(jnp.int32))
+                so[0, 1] = so[0, 1] + count * (
+                    jnp.sum(active.astype(jnp.int32)) if occlusion
+                    else nlive_s)
 
             @pl.when(kind == KIND_PRIM)
             def _prim():
@@ -456,7 +514,12 @@ def _kernel_v2(rows_ref, ox, oy, oz, dx, dy, dz, t0r, ignr,
                 if not occlusion:
                     tro[:] = jnp.where(ph, -1, tro[:])
 
-            so[0, 0] = so[0, 0] + jnp.sum(active.astype(jnp.int32))
+            # closest-hit `active` is loop-invariant (= live0), so the
+            # per-iteration (8,128) stats reduce hoists to one scalar
+            if occlusion:
+                so[0, 0] = so[0, 0] + jnp.sum(active.astype(jnp.int32))
+            else:
+                so[0, 0] = so[0, 0] + nlive_s
             sp_o = sp_ref[0]
             if occlusion:
                 done = ~jnp.any(live0 & (po[:] < 0))
@@ -507,7 +570,7 @@ def _kernel_v5(rows_ref, ox, oy, oz, dx, dy, dz, t0r, ignr, *refs,
     Requires child-kind codes in row lanes 50..57
     (wide_bvh.annotate_child_kinds) and G in (1, 8)."""
     assert G in (1, 8) and LPI >= 1
-    to, po, tro, bvo, bwo, so, stacks, leafq, sps, lqs = refs
+    to, po, tro, bvo, bwo, so, stacks, leafq, sps, lqs, tt_acc = refs
     o = Vec3(ox[:], oy[:], oz[:])
     d = Vec3(dx[:], dy[:], dz[:])
     t_in = t0r[:]
@@ -515,6 +578,7 @@ def _kernel_v5(rows_ref, ox, oy, oz, dx, dy, dz, t0r, ignr, *refs,
     inv_d = intersect.safe_inv_dir(d)
     live0 = t_in >= 0.0
     any_live = jnp.any(live0)
+    nlive_s = jnp.sum(live0.astype(jnp.int32))  # loop-invariant stats base
 
     @pl.when(pl.program_id(0) == 0)
     def _init_stats():
@@ -579,7 +643,12 @@ def _kernel_v5(rows_ref, ox, oy, oz, dx, dy, dz, t0r, ignr, *refs,
                 do_leaf = ((n_leaf > n_int) | (n_int == 0)
                            | (max_lq >= LQ_CAP - 8 * LPI))
                 active = active_now()
-                so[0, 0] = so[0, 0] + jnp.sum(active.astype(jnp.int32))
+                # closest-hit active == live0: hoisted scalar (the per-
+                # iteration (8,128) reduce cost v2 ~17% of the primary
+                # wave; same fix here)
+                so[0, 0] = so[0, 0] + (
+                    jnp.sum(active.astype(jnp.int32)) if occlusion
+                    else nlive_s)
 
                 @pl.when(~do_leaf)
                 def _internal():
@@ -592,7 +661,13 @@ def _kernel_v5(rows_ref, ox, oy, oz, dx, dy, dz, t0r, ignr, *refs,
                     nodes = fetch_rows(curs)
                     afull = active & gvec(readys)
 
-                    keys, pays, kinds = [], [], []
+                    # packed per-child keys (round 4, prof42: the 3-array
+                    # select-swap network costs ~1030 ns/iter; a single
+                    # int min/max network is 2.26x cheaper): bits
+                    # [31:5] = nearest entry-distance bit pattern (int
+                    # order == float order for non-negative floats),
+                    # bits [4:2] = child index, bits [1:0] = kind code.
+                    iks = []
                     for c in range(WIDE):
                         s = 2 + 6 * c
                         t1x = (col(nodes, s + 0) - o.x) * inv_d.x
@@ -608,26 +683,19 @@ def _kernel_v5(rows_ref, ox, oy, oz, dx, dy, dz, t0r, ignr, *refs,
                                                      jnp.maximum(t1y, t2y)),
                                          jnp.maximum(t1z, t2z))
                         hit_c = (tn < tf) & (tf > 0.0) & (tn < t) & afull
-                        tmin = gred_min(jnp.where(hit_c, jnp.maximum(tn, 0.0),
-                                                  BIG_T), BIG_T)
-                        keys.append(jnp.where(tmin < BIG_T, tmin,
-                                              jnp.float32(BIG_T * 2.0)))
-                        pays.append(tmin * 0.0 + jnp.float32(c))
-                        kinds.append(coli(nodes, 50 + c) + jnp.int32(0))
+                        vk = jnp.where(hit_c, jnp.maximum(tn, 0.0),
+                                       jnp.float32(BIG_T * 2.0))
+                        ik = gred_min(jax.lax.bitcast_convert_type(
+                            vk, jnp.int32), None)
+                        iks.append(jnp.bitwise_or(
+                            jnp.bitwise_and(ik, jnp.int32(~_PK5_MASK)),
+                            jnp.int32(c << 2) + coli(nodes, 50 + c)))
                     if not occlusion:
-                        # nearest-first per group: Batcher network with the
-                        # payload and kind codes swapped in parallel
+                        # nearest-first per group: min/max network
                         for (i, j) in _SORT_PAIRS:
-                            swap = keys[i] > keys[j]
-                            ki = jnp.where(swap, keys[j], keys[i])
-                            kj = jnp.where(swap, keys[i], keys[j])
-                            pi = jnp.where(swap, pays[j], pays[i])
-                            pj = jnp.where(swap, pays[i], pays[j])
-                            qi = jnp.where(swap, kinds[j], kinds[i])
-                            qj = jnp.where(swap, kinds[i], kinds[j])
-                            keys[i], keys[j] = ki, kj
-                            pays[i], pays[j] = pi, pj
-                            kinds[i], kinds[j] = qi, qj
+                            lo_ = jnp.minimum(iks[i], iks[j])
+                            hi_ = jnp.maximum(iks[i], iks[j])
+                            iks[i], iks[j] = lo_, hi_
                     # route each (group, sorted slot): internal children onto
                     # the group's stack farthest-first (nearest pops first),
                     # leaf/prim children onto its queue (prim sign-encoded).
@@ -639,14 +707,15 @@ def _kernel_v5(rows_ref, ox, oy, oz, dx, dy, dz, t0r, ignr, *refs,
                     for j in order:
                         for g in range(G):
                             if G == 8:
-                                ok = keys[j][g, 0] < BIG_T * 2.0
-                                kd = kinds[j][g, 0]
-                                slot = base[g, 0] \
-                                    + pays[j][g, 0].astype(jnp.int32)
+                                ikj = iks[j][g, 0]
+                                bj = base[g, 0]
                             else:
-                                ok = keys[j] < BIG_T * 2.0
-                                kd = kinds[j]
-                                slot = base + pays[j].astype(jnp.int32)
+                                ikj = iks[j]
+                                bj = base
+                            ok = ikj < _PK5_SENT
+                            kd = jnp.bitwise_and(ikj, 3)
+                            slot = bj + jnp.bitwise_and(
+                                jax.lax.shift_right_logical(ikj, 2), 7)
                             is_int = ok & (kd == KIND_INTERNAL)
                             spg = sps[g]
                             idx = jnp.where(is_int, spg, jnp.int32(STACK))
@@ -729,9 +798,12 @@ def _kernel_v5(rows_ref, ox, oy, oz, dx, dy, dz, t0r, ignr, *refs,
                                 tro[:] = jnp.where(h, tri_base + k, tro[:])
                                 bvo[:] = jnp.where(h, v_, bvo[:])
                                 bwo[:] = jnp.where(h, w_, bwo[:])
-                        so[0, 1] = so[0, 1] + jnp.sum(jnp.where(
+                        # accumulate the masked tri count as a VECTOR (one
+                        # cross-lane reduce at walk end, not one per rep —
+                        # LPI reps per leaf step made this reduce hot)
+                        tt_acc[:] = tt_acc[:] + jnp.where(
                             act & tri_rows,
-                            jnp.broadcast_to(count, (BS, BL)), 0))
+                            jnp.broadcast_to(count, (BS, BL)), 0)
 
                         # --- analytic prim body, masked to prim-entry groups -
                         prim_id = coli(nodes, 1)
@@ -797,7 +869,9 @@ def _kernel_v5(rows_ref, ox, oy, oz, dx, dy, dz, t0r, ignr, *refs,
             sps[g] = root_is_int.astype(jnp.int32)
             lqs[g] = jnp.where(root_is_int | (root_kind == KIND_EMPTY),
                                0, 1)
+        tt_acc[:] = jnp.zeros((BS, BL), jnp.int32)
         jax.lax.while_loop(cond, body, jnp.int32(1))
+        so[0, 1] = so[0, 1] + jnp.sum(tt_acc[:])
 
 
 QS = 16   # v4 leaf DMA ring slots (power of two, >= 2 * WIDE)
@@ -835,6 +909,7 @@ def _kernel_v4(res_ref, leaf_ref, ox, oy, oz, dx, dy, dz, t0r, ignr,
     inv_d = intersect.safe_inv_dir(d)
     live0 = t_in >= 0.0
     any_live = jnp.any(live0)
+    nlive_s = jnp.sum(live0.astype(jnp.int32))  # loop-invariant stats base
 
     @pl.when(pl.program_id(0) == 0)
     def _init_stats():
@@ -862,9 +937,10 @@ def _kernel_v4(res_ref, leaf_ref, ox, oy, oz, dx, dy, dz, t0r, ignr,
             t = to[:]
             if occlusion:
                 active = live0 & (po[:] < 0)
+                so[0, 0] = so[0, 0] + jnp.sum(active.astype(jnp.int32))
             else:
                 active = live0
-            so[0, 0] = so[0, 0] + jnp.sum(active.astype(jnp.int32))
+                so[0, 0] = so[0, 0] + nlive_s  # hoisted (loop-invariant)
 
             @pl.when(do_leaf)
             def _leaf():
@@ -896,8 +972,9 @@ def _kernel_v4(res_ref, leaf_ref, ox, oy, oz, dx, dy, dz, t0r, ignr,
                             tro[:] = tri_l
                             bvo[:] = bv_l
                             bwo[:] = bw_l
-                        so[0, 1] = so[0, 1] + count \
-                            * jnp.sum(active.astype(jnp.int32))
+                        so[0, 1] = so[0, 1] + count * (
+                            jnp.sum(active.astype(jnp.int32)) if occlusion
+                            else nlive_s)
                         st_ref[1] = qh_i + 1
 
             @pl.when(~do_leaf)
@@ -1092,6 +1169,7 @@ def _packet_traverse(rows, v4_tables, o: Vec3, d: Vec3, t0, ignored_prim,
                 pltpu.SMEM((groups, LQ_CAP + 1), jnp.int32),  # leaf queues
                 pltpu.SMEM((groups,), jnp.int32),             # sp per group
                 pltpu.SMEM((groups,), jnp.int32),             # lq per group
+                pltpu.VMEM((BS, BL), jnp.int32),  # tri-test vector accum
             ],
         )
         kernel = functools.partial(_kernel_v5, occlusion=occlusion,

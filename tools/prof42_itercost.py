@@ -58,9 +58,56 @@ def make_kernel(body: str, K: int):
                 row2 = rows_ref[(cur + base + i + 17) % ROWS]
                 acc = acc + row[0] + row2[0]
                 return acc, t, sp
+            if body == "sort2":
+                # TWO independent internal+sort+push chains per iteration
+                # (different rows, disjoint stack regions): measures how
+                # much ILP the ~8 ns/op serialized body recovers when two
+                # dependency chains interleave.  Per-NODE cost = slope/2.
+                cur2 = stack[jnp.bitwise_and(sp, 63) + 64]
+                row2 = rows_ref[(cur2 + base + i + 31) % ROWS]
+                accs = []
+                for (rw, lo) in ((row, 32), (row2, 80)):
+                    keys = []
+                    for c in range(8):
+                        s = 2 + 6 * c
+                        t1x = (rw[s + 0] - o[0]) * inv[0]
+                        t2x = (rw[s + 3] - o[0]) * inv[0]
+                        t1y = (rw[s + 1] - o[1]) * inv[1]
+                        t2y = (rw[s + 4] - o[1]) * inv[1]
+                        t1z = (rw[s + 2] - o[2]) * inv[2]
+                        t2z = (rw[s + 5] - o[2]) * inv[2]
+                        tn = jnp.maximum(jnp.maximum(jnp.minimum(t1x, t2x),
+                                                     jnp.minimum(t1y, t2y)),
+                                         jnp.minimum(t1z, t2z))
+                        tf = jnp.minimum(jnp.minimum(jnp.maximum(t1x, t2x),
+                                                     jnp.maximum(t1y, t2y)),
+                                         jnp.maximum(t1z, t2z))
+                        hit = (tn < tf) & (tf > 0.0) & (tn < t)
+                        tmin = jnp.min(jnp.where(hit, jnp.maximum(tn, 0.0),
+                                                 BIG_T))
+                        keys.append(jnp.where(tmin < BIG_T, tmin,
+                                              jnp.float32(BIG_T * 2.0)))
+                    pays = [jnp.int32(c) for c in range(8)]
+                    for (a, b) in _SORT_PAIRS:
+                        swap = keys[a] > keys[b]
+                        ka = jnp.where(swap, keys[b], keys[a])
+                        kb = jnp.where(swap, keys[a], keys[b])
+                        pa = jnp.where(swap, pays[b], pays[a])
+                        pb = jnp.where(swap, pays[a], pays[b])
+                        keys[a], keys[b], pays[a], pays[b] = ka, kb, pa, pb
+                    spw = jnp.bitwise_and(sp, 31) + lo
+                    for j in range(7, -1, -1):
+                        ok = keys[j] < BIG_T * 2.0
+                        idx = jnp.where(ok, spw, jnp.int32(127))
+                        stack[idx] = jnp.where(ok, pays[j] + 1, stack[idx])
+                        spw = spw + ok.astype(jnp.int32)
+                    accs.append(keys[0])
+                acc = acc + accs[0] + accs[1]
+                return acc, t, sp
             if body in ("internal", "sort", "rank", "stores8", "sortnc",
-                        "sortst", "push1"):
+                        "sortst", "push1", "omask", "sortpk"):
                 keys = []
+                vkeys = []
                 for c in range(8):
                     s = 2 + 6 * c
                     t1x = (row[s + 0] - o[0]) * inv[0]
@@ -76,6 +123,8 @@ def make_kernel(body: str, K: int):
                                                  jnp.maximum(t1y, t2y)),
                                      jnp.maximum(t1z, t2z))
                     hit = (tn < tf) & (tf > 0.0) & (tn < t)
+                    vkeys.append(jnp.where(hit, jnp.maximum(tn, 0.0),
+                                           jnp.float32(BIG_T * 2.0)))
                     tmin = jnp.min(jnp.where(hit, jnp.maximum(tn, 0.0),
                                              BIG_T))
                     keys.append(jnp.where(tmin < BIG_T, tmin,
@@ -101,6 +150,67 @@ def make_kernel(body: str, K: int):
                         idx = jnp.where(ok, spw + r, jnp.int32(127))
                         stack[idx] = jnp.where(ok, jnp.int32(c + 1),
                                                stack[idx])
+                if body == "sortpk":
+                    # packed-key network: fold the 3-bit child payload into
+                    # the key's low mantissa bits (keys are >= 0 so float
+                    # order == int order of the bit patterns) and sort ONE
+                    # int array with min/max — no 4-way select swaps.
+                    # Mosaic can't bitcast scalars, so bitcast the (8,128)
+                    # VECTOR and min-reduce in the int domain (identical
+                    # order for non-negative floats).
+                    iks = []
+                    for c in range(8):
+                        ik = jnp.min(jax.lax.bitcast_convert_type(
+                            vkeys[c], jnp.int32))
+                        iks.append(jnp.bitwise_or(
+                            jnp.bitwise_and(ik, jnp.int32(~7)),
+                            jnp.int32(c)))
+                    for (a, b) in _SORT_PAIRS:
+                        lo_ = jnp.minimum(iks[a], iks[b])
+                        hi_ = jnp.maximum(iks[a], iks[b])
+                        iks[a], iks[b] = lo_, hi_
+                    big = jnp.int32(int(np.float32(BIG_T * 2.0)
+                                        .view(np.int32)))
+                    spw = jnp.bitwise_and(sp, 31) + 32
+                    for j in range(7, -1, -1):
+                        ok = iks[j] < big
+                        idx = jnp.where(ok, spw, jnp.int32(127))
+                        stack[idx] = jnp.bitwise_and(iks[j], 7) + 1
+                        spw = spw + ok.astype(jnp.int32)
+                    acc = acc + keys[0]
+                    return acc, t, sp
+                if body == "omask":
+                    # CANDIDATE internal step without the per-iteration
+                    # sort: pack the 8 hit bits into one int (vector 0-d
+                    # chain), bounce it through SMEM to force ONE
+                    # vector->scalar boundary, then push in the order of a
+                    # BUILD-TIME octant perm (row lane 58 stands in
+                    # cost-wise) with pure scalar-side bit tests.  The
+                    # octant/reverse flag is loop-invariant in the real
+                    # kernel; modeled by an SMEM read here.
+                    m = jnp.int32(0)
+                    for c in range(8):
+                        ok = keys[c] < BIG_T * 2.0
+                        m = m + jnp.where(ok, jnp.int32(1 << c),
+                                          jnp.int32(0))
+                    stack[125] = m
+                    ms = stack[125]
+                    perm = row[58].astype(jnp.int32)
+                    base_c = row[1].astype(jnp.int32)
+                    rev = stack[126] > 0
+                    spw = jnp.bitwise_and(sp, 31) + 32
+                    for j in range(8):
+                        pa = jnp.bitwise_and(
+                            jax.lax.shift_right_logical(perm, 3 * j), 7)
+                        pb = jnp.bitwise_and(
+                            jax.lax.shift_right_logical(perm, 3 * (7 - j)),
+                            7)
+                        cj = jnp.where(rev, pb, pa)
+                        okb = jnp.bitwise_and(
+                            jax.lax.shift_right_logical(ms, cj), 1)
+                        idx = jnp.where(okb > 0, spw, jnp.int32(127))
+                        stack[idx] = base_c + cj
+                        spw = spw + okb
                 if body == "stores8":
                     # 8 unconditional dynamic stores, NO ordering network:
                     # isolates raw store cost from the sort.
