@@ -414,7 +414,14 @@ def _kernel_v2(rows_ref, ox, oy, oz, dx, dy, dz, t0r, ignr,
     iteration pays only its own node type's VPU work.  Occlusion mode also
     drops the nearest-first sort network (any hit order works) and tracks
     blockedness as ``po >= 0`` (a hit always records the prim id)."""
-    to, po, tro, bvo, bwo, so, stack, sp_ref = refs
+    if occlusion:
+        # occlusion-only scratch: vector stats accumulators + a blockedness
+        # flag, so the loop body pays ZERO cross-lane reduces on internal
+        # iterations (round 4d; see the stats-hoist note below)
+        (to, po, tro, bvo, bwo, so, stack, sp_ref,
+         nv_acc, tt_acc, blk_ref) = refs
+    else:
+        to, po, tro, bvo, bwo, so, stack, sp_ref = refs
     o = Vec3(ox[:], oy[:], oz[:])
     d = Vec3(dx[:], dy[:], dz[:])
     t_in = t0r[:]
@@ -450,6 +457,11 @@ def _kernel_v2(rows_ref, ox, oy, oz, dx, dy, dz, t0r, ignr,
             t = to[:]
             if occlusion:
                 active = live0 & (po[:] < 0)
+                # node-visit stats as a VECTOR accumulator: one cross-lane
+                # reduce at walk end, not one per iteration (the closest-hit
+                # kernels hoisted theirs in round 4c; occlusion's `active`
+                # varies per iteration so it accumulates instead)
+                nv_acc[:] = nv_acc[:] + active.astype(jnp.int32)
             else:
                 active = live0
 
@@ -496,38 +508,55 @@ def _kernel_v2(rows_ref, ox, oy, oz, dx, dy, dz, t0r, ignr,
                     bwo[:], occlusion)
                 if occlusion:
                     po[:] = prim_l
+                    # tri-test stats vectorized like nv_acc above; the
+                    # blockedness flag is refreshed HERE because po only
+                    # changes in the leaf/prim bodies — internal iterations
+                    # read the SMEM scalar instead of re-reducing (8,128)
+                    tt_acc[:] = tt_acc[:] + jnp.where(active, count, 0)
+                    blk_ref[0] = (~jnp.any(live0 & (prim_l < 0))
+                                  ).astype(jnp.int32)
                 else:
                     to[:] = t_l
                     po[:] = prim_l
                     tro[:] = tri_l
                     bvo[:] = bv_l
                     bwo[:] = bw_l
-                so[0, 1] = so[0, 1] + count * (
-                    jnp.sum(active.astype(jnp.int32)) if occlusion
-                    else nlive_s)
+                    so[0, 1] = so[0, 1] + count * nlive_s
 
             @pl.when(kind == KIND_PRIM)
             def _prim():
                 ph, tval, prim_id = _prim_updates(row, o, d, ign, active, t)
                 to[:] = jnp.where(ph, tval, t)
-                po[:] = jnp.where(ph, prim_id, po[:])
+                new_po = jnp.where(ph, prim_id, po[:])
+                po[:] = new_po
                 if not occlusion:
                     tro[:] = jnp.where(ph, -1, tro[:])
+                else:
+                    blk_ref[0] = (~jnp.any(live0 & (new_po < 0))
+                                  ).astype(jnp.int32)
 
             # closest-hit `active` is loop-invariant (= live0), so the
-            # per-iteration (8,128) stats reduce hoists to one scalar
-            if occlusion:
-                so[0, 0] = so[0, 0] + jnp.sum(active.astype(jnp.int32))
-            else:
+            # per-iteration (8,128) stats reduce hoists to one scalar;
+            # occlusion accumulates vectors (nv_acc/tt_acc above)
+            if not occlusion:
                 so[0, 0] = so[0, 0] + nlive_s
             sp_o = sp_ref[0]
             if occlusion:
-                done = ~jnp.any(live0 & (po[:] < 0))
-                sp_o = jnp.where(done, 0, sp_o)
+                # early exit the moment every live ray is blocked; the flag
+                # is an SMEM scalar maintained by the leaf/prim bodies (the
+                # only writers of po), so internal iterations pay no reduce
+                sp_o = jnp.where(blk_ref[0] != 0, 0, sp_o)
             return sp_o
 
         stack[0] = jnp.int32(0)
+        if occlusion:
+            nv_acc[:] = jnp.zeros((BS, BL), jnp.int32)
+            tt_acc[:] = jnp.zeros((BS, BL), jnp.int32)
+            blk_ref[0] = jnp.int32(0)
         jax.lax.while_loop(cond, body, jnp.int32(1))
+        if occlusion:
+            so[0, 0] = so[0, 0] + jnp.sum(nv_acc[:])
+            so[0, 1] = so[0, 1] + jnp.sum(tt_acc[:])
 
     # match v1's output convention for dead lanes: t_in passes through (it
     # already does — dead lanes are never written)
@@ -1184,7 +1213,11 @@ def _packet_traverse(rows, v4_tables, o: Vec3, d: Vec3, t0, ignored_prim,
             out_specs=[blk() for _ in range(5)]
             + [pl.BlockSpec(memory_space=pltpu.SMEM)],
             scratch_shapes=[pltpu.SMEM((STACK + 1,), jnp.int32)]
-            + ([pltpu.SMEM((1,), jnp.int32)] if v2 else []),
+            + ([pltpu.SMEM((1,), jnp.int32)] if v2 else [])
+            + ([pltpu.VMEM((BS, BL), jnp.int32),   # nv accumulator
+                pltpu.VMEM((BS, BL), jnp.int32),   # tri-test accumulator
+                pltpu.SMEM((1,), jnp.int32)]       # all-blocked flag
+               if (v2 and occlusion) else []),
         )
         kernel = functools.partial(_kernel_v2 if v2 else _kernel,
                                    occlusion=occlusion)
