@@ -569,8 +569,12 @@ def _kernel_v2(rows_ref, ox, oy, oz, dx, dy, dz, t0r, ignr,
 LQ_CAP = 96  # per-group leaf/prim queue slots (force-drain keeps it < cap)
 
 
+VEC_STACK = 256  # v6 per-group stack capacity (2 lane-tiles; >= v5's 192)
+
+
 def _kernel_v5(rows_ref, ox, oy, oz, dx, dy, dz, t0r, ignr, *refs,
-               occlusion: bool, G: int, LPI: int, UNROLL: int = 1):
+               occlusion: bool, G: int, LPI: int, UNROLL: int = 1,
+               VEC: bool = False):
     """Grouped walk kernel (v5): G independent walks per (8,128) block,
     each owning 8/G sublane rows, with KIND-UNIFORM iterations and up to
     LPI leaf rows consumed per leaf iteration.
@@ -597,9 +601,26 @@ def _kernel_v5(rows_ref, ox, oy, oz, dx, dy, dz, t0r, ignr, *refs,
     capacity, or every stack is empty.
 
     Requires child-kind codes in row lanes 50..57
-    (wide_bvh.annotate_child_kinds) and G in (1, 8)."""
+    (wide_bvh.annotate_child_kinds) and G in (1, 8).
+
+    ``VEC`` (v6, round 4): all per-group walk state lives in VMEM VECTORS —
+    stack (8, VEC_STACK), leaf queue (8, BL), and sps/lqs as
+    broadcast-uniform (8, BL) rows — so the ROUTING loop (v5's hot spot:
+    8 slots x 8 groups = 64 vector->scalar extracts + 64 conditional scalar
+    RMW SMEM stores per internal step, ~1 us of the measured ~2 us/iter)
+    becomes 8 slots of pure (8,1)/(8,256) vector ops with NO group loop.
+    Pops become one masked lane-reduce + 8 scalar extracts (the row fetch
+    addresses must be scalars).  Policy/exit decisions reduce the (8,1)
+    uniform columns.  Iteration sequence and hit results are BIT-IDENTICAL
+    to VEC=False (parity-tested)."""
     assert G in (1, 8) and LPI >= 1
-    to, po, tro, bvo, bwo, so, stacks, leafq, sps, lqs, tt_acc = refs
+    if VEC:
+        assert G == 8
+        to, po, tro, bvo, bwo, so, stackv, leafqv, sps_v, lqs_v, tt_acc = refs
+        lane_s = jax.lax.broadcasted_iota(jnp.int32, (BS, VEC_STACK), 1)
+        lane_q = jax.lax.broadcasted_iota(jnp.int32, (BS, BL), 1)
+    else:
+        to, po, tro, bvo, bwo, so, stacks, leafq, sps, lqs, tt_acc = refs
     o = Vec3(ox[:], oy[:], oz[:])
     d = Vec3(dx[:], dy[:], dz[:])
     t_in = t0r[:]
@@ -662,13 +683,21 @@ def _kernel_v5(rows_ref, ox, oy, oz, dx, dy, dz, t0r, ignr, *refs,
 
         def body(_):
             def micro(_u):
-                n_int = jnp.int32(0)
-                n_leaf = jnp.int32(0)
-                max_lq = jnp.int32(0)
-                for g in range(G):
-                    n_int = n_int + (sps[g] > 0).astype(jnp.int32)
-                    n_leaf = n_leaf + (lqs[g] > 0).astype(jnp.int32)
-                    max_lq = jnp.maximum(max_lq, lqs[g])
+                if VEC:
+                    # uniform rows: column 0 carries each group's count
+                    sc0 = sps_v[:][:, :1]   # (8, 1)
+                    qc0 = lqs_v[:][:, :1]
+                    n_int = jnp.sum((sc0 > 0).astype(jnp.int32))
+                    n_leaf = jnp.sum((qc0 > 0).astype(jnp.int32))
+                    max_lq = jnp.max(qc0)
+                else:
+                    n_int = jnp.int32(0)
+                    n_leaf = jnp.int32(0)
+                    max_lq = jnp.int32(0)
+                    for g in range(G):
+                        n_int = n_int + (sps[g] > 0).astype(jnp.int32)
+                        n_leaf = n_leaf + (lqs[g] > 0).astype(jnp.int32)
+                        max_lq = jnp.maximum(max_lq, lqs[g])
                 do_leaf = ((n_leaf > n_int) | (n_int == 0)
                            | (max_lq >= LQ_CAP - 8 * LPI))
                 active = active_now()
@@ -682,13 +711,24 @@ def _kernel_v5(rows_ref, ox, oy, oz, dx, dy, dz, t0r, ignr, *refs,
                 @pl.when(~do_leaf)
                 def _internal():
                     t = to[:]
-                    readys = [sps[g] > 0 for g in range(G)]
-                    curs = [stacks[g, jnp.maximum(sps[g] - 1, 0)]
-                            for g in range(G)]
-                    for g in range(G):
-                        sps[g] = sps[g] - readys[g].astype(jnp.int32)
-                    nodes = fetch_rows(curs)
-                    afull = active & gvec(readys)
+                    if VEC:
+                        sp_r = sps_v[:][:, :1]            # (8, 1)
+                        ready_r = sp_r > 0
+                        stk = stackv[:]                   # (8, VEC_STACK)
+                        cur_v = jnp.sum(jnp.where(lane_s == sp_r - 1, stk, 0),
+                                        axis=1, keepdims=True)  # (8, 1)
+                        sp_r = sp_r - ready_r.astype(jnp.int32)
+                        curs = [cur_v[g, 0] for g in range(G)]
+                        nodes = fetch_rows(curs)
+                        afull = active & ready_r
+                    else:
+                        readys = [sps[g] > 0 for g in range(G)]
+                        curs = [stacks[g, jnp.maximum(sps[g] - 1, 0)]
+                                for g in range(G)]
+                        for g in range(G):
+                            sps[g] = sps[g] - readys[g].astype(jnp.int32)
+                        nodes = fetch_rows(curs)
+                        afull = active & gvec(readys)
 
                     # packed per-child keys (round 4, prof42: the 3-array
                     # select-swap network costs ~1030 ns/iter; a single
@@ -733,32 +773,60 @@ def _kernel_v5(rows_ref, ox, oy, oz, dx, dy, dz, t0r, ignr, *refs,
                     base = coli(nodes, 1)
                     order = range(WIDE - 1, -1, -1) if not occlusion \
                         else range(WIDE)
-                    for j in order:
-                        for g in range(G):
-                            if G == 8:
-                                ikj = iks[j][g, 0]
-                                bj = base[g, 0]
-                            else:
-                                ikj = iks[j]
-                                bj = base
-                            ok = ikj < _PK5_SENT
+                    if VEC:
+                        # pure vector routing: no group loop, no extracts.
+                        # sp_r/stk carried in registers across the 8 slots,
+                        # stored once below.
+                        q_r = lqs_v[:][:, :1]             # (8, 1)
+                        lq = leafqv[:]                    # (8, BL)
+                        for j in order:
+                            ikj = iks[j]                  # (8, 1)
+                            okv = ikj < _PK5_SENT
                             kd = jnp.bitwise_and(ikj, 3)
-                            slot = bj + jnp.bitwise_and(
+                            slot = base + jnp.bitwise_and(
                                 jax.lax.shift_right_logical(ikj, 2), 7)
-                            is_int = ok & (kd == KIND_INTERNAL)
-                            spg = sps[g]
-                            idx = jnp.where(is_int, spg, jnp.int32(STACK))
-                            stacks[g, idx] = jnp.where(is_int, slot,
-                                                       stacks[g, idx])
-                            sps[g] = spg + is_int.astype(jnp.int32)
-                            is_lp = ok & ((kd == KIND_TRIS)
-                                          | (kd == KIND_PRIM))
-                            enc = jnp.where(kd == KIND_TRIS, slot, -slot - 1)
-                            lqg = lqs[g]
-                            idx2 = jnp.where(is_lp, lqg, jnp.int32(LQ_CAP))
-                            leafq[g, idx2] = jnp.where(is_lp, enc,
-                                                       leafq[g, idx2])
-                            lqs[g] = lqg + is_lp.astype(jnp.int32)
+                            is_int = okv & (kd == KIND_INTERNAL)
+                            stk = jnp.where((lane_s == sp_r) & is_int,
+                                            slot, stk)
+                            sp_r = sp_r + is_int.astype(jnp.int32)
+                            is_lp = okv & ((kd == KIND_TRIS)
+                                           | (kd == KIND_PRIM))
+                            enc = jnp.where(kd == KIND_TRIS, slot,
+                                            -slot - 1)
+                            lq = jnp.where((lane_q == q_r) & is_lp, enc, lq)
+                            q_r = q_r + is_lp.astype(jnp.int32)
+                        stackv[:] = stk
+                        leafqv[:] = lq
+                        sps_v[:] = jnp.broadcast_to(sp_r, (BS, BL))
+                        lqs_v[:] = jnp.broadcast_to(q_r, (BS, BL))
+                    else:
+                        for j in order:
+                            for g in range(G):
+                                if G == 8:
+                                    ikj = iks[j][g, 0]
+                                    bj = base[g, 0]
+                                else:
+                                    ikj = iks[j]
+                                    bj = base
+                                ok = ikj < _PK5_SENT
+                                kd = jnp.bitwise_and(ikj, 3)
+                                slot = bj + jnp.bitwise_and(
+                                    jax.lax.shift_right_logical(ikj, 2), 7)
+                                is_int = ok & (kd == KIND_INTERNAL)
+                                spg = sps[g]
+                                idx = jnp.where(is_int, spg, jnp.int32(STACK))
+                                stacks[g, idx] = jnp.where(is_int, slot,
+                                                           stacks[g, idx])
+                                sps[g] = spg + is_int.astype(jnp.int32)
+                                is_lp = ok & ((kd == KIND_TRIS)
+                                              | (kd == KIND_PRIM))
+                                enc = jnp.where(kd == KIND_TRIS, slot,
+                                                -slot - 1)
+                                lqg = lqs[g]
+                                idx2 = jnp.where(is_lp, lqg, jnp.int32(LQ_CAP))
+                                leafq[g, idx2] = jnp.where(is_lp, enc,
+                                                           leafq[g, idx2])
+                                lqs[g] = lqg + is_lp.astype(jnp.int32)
 
                 @pl.when(do_leaf)
                 def _leaf():
@@ -768,20 +836,39 @@ def _kernel_v5(rows_ref, ox, oy, oz, dx, dy, dz, t0r, ignr, *refs,
                     # fetches overlap instead of serializing behind each
                     # rep's Moller-Trumbore math
                     reps = []
-                    for _rep in range(LPI):
-                        readys = [lqs[g] > 0 for g in range(G)]
-                        encs = [leafq[g, jnp.maximum(lqs[g] - 1, 0)]
-                                for g in range(G)]
-                        for g in range(G):
-                            lqs[g] = lqs[g] - readys[g].astype(jnp.int32)
-                        rowidx = [jnp.where(encs[g] >= 0, encs[g],
-                                            -encs[g] - 1) for g in range(G)]
-                        reps.append((readys, encs, fetch_rows(rowidx)))
+                    if VEC:
+                        q_r = lqs_v[:][:, :1]             # (8, 1)
+                        lq = leafqv[:]
+                        for _rep in range(LPI):
+                            ready_r = q_r > 0
+                            enc_v = jnp.sum(
+                                jnp.where(lane_q == q_r - 1, lq, 0),
+                                axis=1, keepdims=True)    # (8, 1)
+                            q_r = q_r - ready_r.astype(jnp.int32)
+                            ridx = jnp.where(enc_v >= 0, enc_v, -enc_v - 1)
+                            idxs = [ridx[g, 0] for g in range(G)]
+                            reps.append((ready_r, enc_v, fetch_rows(idxs)))
+                        lqs_v[:] = jnp.broadcast_to(q_r, (BS, BL))
+                    else:
+                        for _rep in range(LPI):
+                            readys = [lqs[g] > 0 for g in range(G)]
+                            encs = [leafq[g, jnp.maximum(lqs[g] - 1, 0)]
+                                    for g in range(G)]
+                            for g in range(G):
+                                lqs[g] = lqs[g] - readys[g].astype(jnp.int32)
+                            rowidx = [jnp.where(encs[g] >= 0, encs[g],
+                                                -encs[g] - 1)
+                                      for g in range(G)]
+                            reps.append((readys, encs, fetch_rows(rowidx)))
                     for readys, encs, nodes in reps:
-                        tri_rows = gvec([readys[g] & (encs[g] >= 0)
-                                         for g in range(G)])
-                        prim_rows = gvec([readys[g] & (encs[g] < 0)
-                                          for g in range(G)])
+                        if VEC:
+                            tri_rows = readys & (encs >= 0)   # (8, 1)
+                            prim_rows = readys & (encs < 0)
+                        else:
+                            tri_rows = gvec([readys[g] & (encs[g] >= 0)
+                                             for g in range(G)])
+                            prim_rows = gvec([readys[g] & (encs[g] < 0)
+                                              for g in range(G)])
                         act = active_now()
                         t_l = to[:]
 
@@ -833,41 +920,59 @@ def _kernel_v5(rows_ref, ox, oy, oz, dx, dy, dz, t0r, ignr, *refs,
                         tt_acc[:] = tt_acc[:] + jnp.where(
                             act & tri_rows,
                             jnp.broadcast_to(count, (BS, BL)), 0)
-
-                        # --- analytic prim body, masked to prim-entry groups -
-                        prim_id = coli(nodes, 1)
-                        ptype = coli(nodes, 2)
-                        m = [col(nodes, 4 + i) for i in range(12)]
-                        os_o = Vec3(
-                            m[0] * o.x + m[1] * o.y + m[2] * o.z + m[3],
-                            m[4] * o.x + m[5] * o.y + m[6] * o.z + m[7],
-                            m[8] * o.x + m[9] * o.y + m[10] * o.z + m[11])
-                        os_d = Vec3(m[0] * d.x + m[1] * d.y + m[2] * d.z,
-                                    m[4] * d.x + m[5] * d.y + m[6] * d.z,
-                                    m[8] * d.x + m[9] * d.y + m[10] * d.z)
-                        sph = ptype == PRIM_SPHERE
-                        hs, ts_ = intersect.sphere(os_o, os_d,
-                                                   col(nodes, 16), t_l)
-                        hb, tb_ = intersect.box(os_o, os_d,
-                                                Vec3(col(nodes, 17),
-                                                     col(nodes, 18),
-                                                     col(nodes, 19)), t_l)
-                        ph = (prim_id != ign) & act & prim_rows \
-                            & ((hs & sph) | (hb & ~sph))
-                        t_l = jnp.where(ph, jnp.where(sph, ts_, tb_), t_l)
-                        po[:] = jnp.where(ph, prim_id, po[:])
                         if not occlusion:
-                            tro[:] = jnp.where(ph, -1, tro[:])
-                            to[:] = t_l
-                        # occlusion mode never tightens t: blockedness
-                        # (po >= 0) is the only state that advances
+                            to[:] = t_l  # commit tri results; the prim
+                            #              body below may be skipped
+
+                        # --- analytic prim body, masked to prim-entry
+                        # groups AND guarded: mesh-scene leaf steps almost
+                        # never pop a prim row, so pl.when skips the
+                        # 12-lane transform + sphere + box intersectors
+                        # for the common all-tri rep (round 4f)
+                        @pl.when(jnp.any(prim_rows))
+                        def _prims(nodes=nodes, prim_rows=prim_rows,
+                                   act=act, t_l=t_l):
+                            prim_id = coli(nodes, 1)
+                            ptype = coli(nodes, 2)
+                            m = [col(nodes, 4 + i) for i in range(12)]
+                            os_o = Vec3(
+                                m[0] * o.x + m[1] * o.y + m[2] * o.z + m[3],
+                                m[4] * o.x + m[5] * o.y + m[6] * o.z + m[7],
+                                m[8] * o.x + m[9] * o.y + m[10] * o.z
+                                + m[11])
+                            os_d = Vec3(m[0] * d.x + m[1] * d.y + m[2] * d.z,
+                                        m[4] * d.x + m[5] * d.y + m[6] * d.z,
+                                        m[8] * d.x + m[9] * d.y
+                                        + m[10] * d.z)
+                            sph = ptype == PRIM_SPHERE
+                            hs, ts_ = intersect.sphere(os_o, os_d,
+                                                       col(nodes, 16), t_l)
+                            hb, tb_ = intersect.box(os_o, os_d,
+                                                    Vec3(col(nodes, 17),
+                                                         col(nodes, 18),
+                                                         col(nodes, 19)),
+                                                    t_l)
+                            ph = (prim_id != ign) & act & prim_rows \
+                                & ((hs & sph) | (hb & ~sph))
+                            po[:] = jnp.where(ph, prim_id, po[:])
+                            if not occlusion:
+                                tro[:] = jnp.where(ph, -1, tro[:])
+                                to[:] = jnp.where(
+                                    ph, jnp.where(sph, ts_, tb_), t_l)
+                            # occlusion mode never tightens t: blockedness
+                            # (po >= 0) is the only state that advances
 
                 if occlusion:
                     # per-GROUP early exit: a group whose live rays are all
                     # blocked drains its own stack+queue (finer than v2's
                     # whole-block exit)
                     open_ = live0 & (po[:] < 0)
-                    if G == 8:
+                    if VEC:
+                        keep = jnp.any(open_, axis=1,
+                                       keepdims=True).astype(jnp.int32)
+                        sps_v[:] = sps_v[:] * keep
+                        lqs_v[:] = lqs_v[:] * keep
+                    elif G == 8:
                         # int32 because Mosaic can only squeeze 32-bit
                         # scalars out of a vector
                         open_g = jnp.any(open_, axis=1,
@@ -884,20 +989,31 @@ def _kernel_v5(rows_ref, ox, oy, oz, dx, dy, dz, t0r, ignr, *refs,
             for _u in range(UNROLL):
                 micro(_u)
 
-            pending = jnp.int32(0)
-            for g in range(G):
-                pending = pending + sps[g] + lqs[g]
+            if VEC:
+                pending = jnp.sum(sps_v[:][:, :1] + lqs_v[:][:, :1])
+            else:
+                pending = jnp.int32(0)
+                for g in range(G):
+                    pending = pending + sps[g] + lqs[g]
             return pending
 
         root_kind = rows_ref[0][0].astype(jnp.int32)
         root_is_int = root_kind == KIND_INTERNAL
         root_enc = jnp.where(root_kind == KIND_TRIS, 0, -1)
-        for g in range(G):
-            stacks[g, 0] = jnp.int32(0)
-            leafq[g, 0] = root_enc
-            sps[g] = root_is_int.astype(jnp.int32)
-            lqs[g] = jnp.where(root_is_int | (root_kind == KIND_EMPTY),
-                               0, 1)
+        if VEC:
+            stackv[:] = jnp.zeros((BS, VEC_STACK), jnp.int32)
+            leafqv[:] = jnp.zeros((BS, BL), jnp.int32) + root_enc
+            sps_v[:] = jnp.zeros((BS, BL), jnp.int32) \
+                + root_is_int.astype(jnp.int32)
+            lqs_v[:] = jnp.zeros((BS, BL), jnp.int32) + jnp.where(
+                root_is_int | (root_kind == KIND_EMPTY), 0, 1)
+        else:
+            for g in range(G):
+                stacks[g, 0] = jnp.int32(0)
+                leafq[g, 0] = root_enc
+                sps[g] = root_is_int.astype(jnp.int32)
+                lqs[g] = jnp.where(root_is_int | (root_kind == KIND_EMPTY),
+                                   0, 1)
         tt_acc[:] = jnp.zeros((BS, BL), jnp.int32)
         jax.lax.while_loop(cond, body, jnp.int32(1))
         so[0, 1] = so[0, 1] + jnp.sum(tt_acc[:])
@@ -1112,20 +1228,28 @@ def packet_traverse(rows, o: Vec3, d: Vec3, t0, ignored_prim,
     lpi = int(_os.environ.get("BUAS_V5_LPI", "8"))
     unroll = int(_os.environ.get("BUAS_V5_UNROLL", "2"))
     v4_lpi = int(_os.environ.get("BUAS_V4_LPI", "2"))
+    # v6 = v5 with VECTORIZED per-group state (see _kernel_v5 VEC docstring);
+    # requires G=8.  Default ON: the prof43 A/B on the real 1080p bounce
+    # wave measured v6 at 100.6-111.3 ms vs v5's 105.0-115.9 across
+    # sessions — a consistent ~5-10% win (docs/PERFORMANCE.md round 4f).
+    vec = v5 and groups == 8 \
+        and _os.environ.get("BUAS_V5_VEC", "1") == "1"
     return _packet_traverse(rows, v4_tables, o, d, t0, ignored_prim,
                             occlusion=occlusion, interpret=interpret, v2=v2,
                             v5=v5, groups=groups if v5 else 1,
                             lpi=lpi if v5 else 1, unroll=unroll if v5 else 1,
-                            v4_lpi=v4_lpi)
+                            v4_lpi=v4_lpi, vec=vec)
 
 
 @functools.partial(jax.jit,
                    static_argnames=("occlusion", "interpret", "v2", "v5",
-                                    "groups", "lpi", "unroll", "v4_lpi"))
+                                    "groups", "lpi", "unroll", "v4_lpi",
+                                    "vec"))
 def _packet_traverse(rows, v4_tables, o: Vec3, d: Vec3, t0, ignored_prim,
                      occlusion: bool = False, interpret: bool = False,
                      v2: bool = True, v5: bool = False, groups: int = 1,
-                     lpi: int = 1, unroll: int = 1, v4_lpi: int = 2):
+                     lpi: int = 1, unroll: int = 1, v4_lpi: int = 2,
+                     vec: bool = False):
     """Jitted body of :func:`packet_traverse`.
 
     Returns (t, prim, tri, bv, bw, node_visits, tri_tests) like
@@ -1193,16 +1317,23 @@ def _packet_traverse(rows, v4_tables, o: Vec3, d: Vec3, t0, ignored_prim,
             + [blk() for _ in range(8)],
             out_specs=[blk() for _ in range(5)]
             + [pl.BlockSpec(memory_space=pltpu.SMEM)],
-            scratch_shapes=[
+            scratch_shapes=([
+                pltpu.VMEM((BS, VEC_STACK), jnp.int32),  # vector stacks
+                pltpu.VMEM((BS, BL), jnp.int32),         # vector leaf queues
+                pltpu.VMEM((BS, BL), jnp.int32),         # sps (uniform rows)
+                pltpu.VMEM((BS, BL), jnp.int32),         # lqs (uniform rows)
+                pltpu.VMEM((BS, BL), jnp.int32),  # tri-test vector accum
+            ] if vec else [
                 pltpu.SMEM((groups, STACK + 1), jnp.int32),   # stacks
                 pltpu.SMEM((groups, LQ_CAP + 1), jnp.int32),  # leaf queues
                 pltpu.SMEM((groups,), jnp.int32),             # sp per group
                 pltpu.SMEM((groups,), jnp.int32),             # lq per group
                 pltpu.VMEM((BS, BL), jnp.int32),  # tri-test vector accum
-            ],
+            ]),
         )
         kernel = functools.partial(_kernel_v5, occlusion=occlusion,
-                                   G=groups, LPI=lpi, UNROLL=unroll)
+                                   G=groups, LPI=lpi, UNROLL=unroll,
+                                   VEC=vec)
     else:
         grid_spec = pltpu.PrefetchScalarGridSpec(
             num_scalar_prefetch=0,

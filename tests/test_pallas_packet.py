@@ -238,6 +238,7 @@ def test_v5_grouped_parity(scene, monkeypatch, groups, lpi, case, occlusion):
     light exclusion.  Routing relies on the child-kind codes
     wide_bvh.annotate_child_kinds writes into row lanes 50..57."""
     monkeypatch.setenv("BUAS_PACKET_V5", "1")
+    monkeypatch.setenv("BUAS_V5_VEC", "0")  # pin the scalar-state variant
     monkeypatch.setenv("BUAS_V5_LPI", str(lpi))
     ps = scene.pack()
     n = 4096
@@ -248,6 +249,39 @@ def test_v5_grouped_parity(scene, monkeypatch, groups, lpi, case, occlusion):
     out = pp.packet_traverse(ps.wide_rows, o, d, t0, ign,
                              occlusion=occlusion, interpret=True,
                              groups=groups)
+    if occlusion:
+        np.testing.assert_array_equal(np.asarray(out[1]) >= 0,
+                                      np.asarray(ref[1]) >= 0)
+    else:
+        np.testing.assert_allclose(np.asarray(out[0]), np.asarray(ref[0]),
+                                   rtol=1e-5, atol=1e-5)
+        np.testing.assert_array_equal(np.asarray(out[1]), np.asarray(ref[1]))
+        np.testing.assert_array_equal(np.asarray(out[2]), np.asarray(ref[2]))
+
+
+@pytest.mark.parametrize("occlusion", [False, True])
+@pytest.mark.parametrize("lpi,unroll", [(1, 1), (4, 1), (8, 2)])
+@pytest.mark.parametrize("case", CASES[1:])  # incoherent +/- dead lanes
+def test_v6_vector_state_parity(scene, monkeypatch, lpi, unroll, case,
+                                occlusion):
+    """v6 = v5 with all per-group walk state vectorized into VMEM (vector
+    stacks/queues, broadcast-uniform sps/lqs, masked-reduce pops, pure
+    vector routing).  The iteration sequence is identical to v5 G=8 by
+    construction, so results must match the XLA oracle exactly like v5's
+    do."""
+    monkeypatch.setenv("BUAS_PACKET_V5", "1")
+    monkeypatch.setenv("BUAS_V5_VEC", "1")
+    monkeypatch.setenv("BUAS_V5_LPI", str(lpi))
+    monkeypatch.setenv("BUAS_V5_UNROLL", str(unroll))
+    ps = scene.pack()
+    n = 4096
+    o, d, t0, ign = _rays(scene, n, seed=47, **case)
+    if occlusion:
+        t0 = jnp.where(t0 > 0, 9.0, t0)
+    ref = tw._traverse(ps, o, d, t0, ign, occlusion=occlusion)
+    out = pp.packet_traverse(ps.wide_rows, o, d, t0, ign,
+                             occlusion=occlusion, interpret=True,
+                             groups=8)
     if occlusion:
         np.testing.assert_array_equal(np.asarray(out[1]) >= 0,
                                       np.asarray(ref[1]) >= 0)

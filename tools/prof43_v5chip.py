@@ -21,10 +21,12 @@ sys.path.insert(0, "/root/repo")
 wave = sys.argv[1] if len(sys.argv) > 1 else "primary"
 kernel = sys.argv[2] if len(sys.argv) > 2 else "v2"
 lpi = sys.argv[3] if len(sys.argv) > 3 else "4"
-if kernel.startswith("v5"):
+if kernel.startswith("v5") or kernel.startswith("v6"):
     os.environ["BUAS_PACKET_V5"] = "1"
     os.environ["BUAS_V5_LPI"] = lpi
-groups = 8 if kernel == "v5g8" else 1
+if kernel.startswith("v6"):  # v6 = v5 + vectorized per-group state
+    os.environ["BUAS_V5_VEC"] = "1"
+groups = 8 if kernel in ("v5g8", "v6g8") else 1
 
 import jax
 
