@@ -574,7 +574,7 @@ VEC_STACK = 256  # v6 per-group stack capacity (2 lane-tiles; >= v5's 192)
 
 def _kernel_v5(rows_ref, ox, oy, oz, dx, dy, dz, t0r, ignr, *refs,
                occlusion: bool, G: int, LPI: int, UNROLL: int = 1,
-               VEC: bool = False):
+               VEC: bool = False, PAIR: bool = False):
     """Grouped walk kernel (v5): G independent walks per (8,128) block,
     each owning 8/G sublane rows, with KIND-UNIFORM iterations and up to
     LPI leaf rows consumed per leaf iteration.
@@ -836,7 +836,45 @@ def _kernel_v5(rows_ref, ox, oy, oz, dx, dy, dz, t0r, ignr, *refs,
                     # fetches overlap instead of serializing behind each
                     # rep's Moller-Trumbore math
                     reps = []
-                    if VEC:
+                    if VEC and PAIR:
+                        # PACKED-PAIR pops: vector->scalar extracts cost
+                        # ~50 ns each and the LPI=8 leaf step made 64 of
+                        # them (8 groups x 8 reps) — ~30% of the whole
+                        # bounce-wave kernel.  Pack TWO consecutive queue
+                        # entries into one int32 (bias +32768 into 16-bit
+                        # halves; needs row indices < 32767, gated at trace
+                        # time) so each group extracts ONCE per pair.
+                        # Iteration sequence and results are BIT-IDENTICAL
+                        # to the unpaired form: same entries, same order.
+                        q_r = lqs_v[:][:, :1]             # (8, 1)
+                        lq = leafqv[:]
+                        for _pair in range(LPI // 2):
+                            ready1 = q_r > 0
+                            ready2 = q_r > 1
+                            enc1 = jnp.sum(
+                                jnp.where(lane_q == q_r - 1, lq, 0),
+                                axis=1, keepdims=True)    # (8, 1)
+                            enc2 = jnp.sum(
+                                jnp.where(lane_q == q_r - 2, lq, 0),
+                                axis=1, keepdims=True)
+                            q_r = q_r - ready1.astype(jnp.int32) \
+                                - ready2.astype(jnp.int32)
+                            packed = jnp.bitwise_or(
+                                jnp.left_shift(enc1 + 32768, 16),
+                                enc2 + 32768)             # (8, 1)
+                            i1, i2 = [], []
+                            for g in range(G):
+                                p = packed[g, 0]
+                                e1 = jax.lax.shift_right_logical(
+                                    p, 16) - 32768
+                                e2 = jnp.bitwise_and(
+                                    p, jnp.int32(0xFFFF)) - 32768
+                                i1.append(jnp.where(e1 >= 0, e1, -e1 - 1))
+                                i2.append(jnp.where(e2 >= 0, e2, -e2 - 1))
+                            reps.append((ready1, enc1, fetch_rows(i1)))
+                            reps.append((ready2, enc2, fetch_rows(i2)))
+                        lqs_v[:] = jnp.broadcast_to(q_r, (BS, BL))
+                    elif VEC:
                         q_r = lqs_v[:][:, :1]             # (8, 1)
                         lq = leafqv[:]
                         for _rep in range(LPI):
@@ -1234,22 +1272,29 @@ def packet_traverse(rows, o: Vec3, d: Vec3, t0, ignored_prim,
     # sessions — a consistent ~5-10% win (docs/PERFORMANCE.md round 4f).
     vec = v5 and groups == 8 \
         and _os.environ.get("BUAS_V5_VEC", "1") == "1"
+    # packed-pair leaf pops (halve the vector->scalar extracts by packing
+    # two biased 16-bit queue entries per int32) MEASURED A 2.3x REGRESSION
+    # on chip (248 vs 106 ms on the real bounce wave, 2026-08-19): the
+    # scalar-side decode chain costs far more than the extracts it saves.
+    # Kept behind the flag as a recorded dead-end; default OFF.
+    pair = vec and lpi % 2 == 0 and int(rows.shape[0]) <= 32000 \
+        and _os.environ.get("BUAS_V5_PAIR", "0") == "1"
     return _packet_traverse(rows, v4_tables, o, d, t0, ignored_prim,
                             occlusion=occlusion, interpret=interpret, v2=v2,
                             v5=v5, groups=groups if v5 else 1,
                             lpi=lpi if v5 else 1, unroll=unroll if v5 else 1,
-                            v4_lpi=v4_lpi, vec=vec)
+                            v4_lpi=v4_lpi, vec=vec, pair=pair)
 
 
 @functools.partial(jax.jit,
                    static_argnames=("occlusion", "interpret", "v2", "v5",
                                     "groups", "lpi", "unroll", "v4_lpi",
-                                    "vec"))
+                                    "vec", "pair"))
 def _packet_traverse(rows, v4_tables, o: Vec3, d: Vec3, t0, ignored_prim,
                      occlusion: bool = False, interpret: bool = False,
                      v2: bool = True, v5: bool = False, groups: int = 1,
                      lpi: int = 1, unroll: int = 1, v4_lpi: int = 2,
-                     vec: bool = False):
+                     vec: bool = False, pair: bool = False):
     """Jitted body of :func:`packet_traverse`.
 
     Returns (t, prim, tri, bv, bw, node_visits, tri_tests) like
@@ -1333,7 +1378,7 @@ def _packet_traverse(rows, v4_tables, o: Vec3, d: Vec3, t0, ignored_prim,
         )
         kernel = functools.partial(_kernel_v5, occlusion=occlusion,
                                    G=groups, LPI=lpi, UNROLL=unroll,
-                                   VEC=vec)
+                                   VEC=vec, PAIR=pair)
     else:
         grid_spec = pltpu.PrefetchScalarGridSpec(
             num_scalar_prefetch=0,
@@ -1595,6 +1640,22 @@ def block_coherence(d: Vec3, t0):
     return jnp.sum(rlen * cnt) / jnp.maximum(jnp.sum(cnt), 1.0)
 
 
+_PHASE_HINT = []  # trace-time stack (single-threaded tracing): while
+# non-empty, traverse_dispatch emits ONLY the prefilter + one full-width
+# Morton-compact walk — no natural branch, no ladder sub-rungs.  The
+# two-phase integrator wraps its compacted continuation in this hint so
+# the extra call sites stay within the axon tunnel's per-process
+# executable budget (CLAUDE.md 4b): +2 Mosaic kernels instead of +6.
+
+
+class phase_compact_hint:
+    def __enter__(self):
+        _PHASE_HINT.append(True)
+
+    def __exit__(self, *exc):
+        _PHASE_HINT.pop()
+
+
 def traverse_dispatch(rows, scene_lo, scene_hi, o: Vec3, d: Vec3, t0,
                       ignored_prim, occlusion: bool, interpret: bool = False,
                       v4_tables=None):
@@ -1683,6 +1744,13 @@ def traverse_dispatch(rows, scene_lo, scene_hi, o: Vec3, d: Vec3, t0,
         ox, oy, oz, dx, dy, dz, t0a, _ = args
         live_r = (t0a >= 0.0) & root_prefilter(
             rows, Vec3(ox, oy, oz), Vec3(dx, dy, dz), t0a)
+        if _PHASE_HINT:
+            # executable-budget mode: ONE full-width compact walk.  Dead
+            # and prefiltered lanes sort last, so all-dead trailing blocks
+            # exit in one kernel iteration — the rung's walk saving is
+            # near-zero here; only its (small at this width) gather
+            # saving is given up.
+            return morton(args, n_blocks, live_r)
         nl = jnp.sum(live_r.astype(jnp.int32))
         # Ladder of STATIC compact sizes.  The compaction's data movement
         # (argsort + (m,8) row gather + MXU transposes + scalar scatters)
@@ -1705,7 +1773,7 @@ def traverse_dispatch(rows, scene_lo, scene_hi, o: Vec3, d: Vec3, t0,
         idx = sum((nl > m * BLOCK).astype(jnp.int32) for m in rungs)
         return jax.lax.switch(idx, branches, args)
 
-    if _os.environ.get("BUAS_FORCE_COMPACT", "") == "1":  # probe knob
+    if _PHASE_HINT or _os.environ.get("BUAS_FORCE_COMPACT", "") == "1":
         return incoherent(args)
     return jax.lax.cond(coh > 0.9, natural, incoherent, args)
 

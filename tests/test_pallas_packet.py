@@ -260,19 +260,22 @@ def test_v5_grouped_parity(scene, monkeypatch, groups, lpi, case, occlusion):
 
 
 @pytest.mark.parametrize("occlusion", [False, True])
-@pytest.mark.parametrize("lpi,unroll", [(1, 1), (4, 1), (8, 2)])
+@pytest.mark.parametrize("lpi,unroll,pair", [(1, 1, "1"), (4, 1, "1"),
+                                             (8, 2, "1"), (8, 2, "0")])
 @pytest.mark.parametrize("case", CASES[1:])  # incoherent +/- dead lanes
-def test_v6_vector_state_parity(scene, monkeypatch, lpi, unroll, case,
+def test_v6_vector_state_parity(scene, monkeypatch, lpi, unroll, pair, case,
                                 occlusion):
     """v6 = v5 with all per-group walk state vectorized into VMEM (vector
     stacks/queues, broadcast-uniform sps/lqs, masked-reduce pops, pure
     vector routing).  The iteration sequence is identical to v5 G=8 by
     construction, so results must match the XLA oracle exactly like v5's
-    do."""
+    do.  ``pair`` pins both leaf-pop variants: packed-pair extracts (the
+    default for even LPI on small tables) and the single-entry form."""
     monkeypatch.setenv("BUAS_PACKET_V5", "1")
     monkeypatch.setenv("BUAS_V5_VEC", "1")
     monkeypatch.setenv("BUAS_V5_LPI", str(lpi))
     monkeypatch.setenv("BUAS_V5_UNROLL", str(unroll))
+    monkeypatch.setenv("BUAS_V5_PAIR", pair)
     ps = scene.pack()
     n = 4096
     o, d, t0, ign = _rays(scene, n, seed=47, **case)

@@ -1,0 +1,110 @@
+"""Two-phase wavefront compaction (integrators/advanced.py) must be
+BIT-IDENTICAL to the single full-width loop.
+
+The compacted continuation re-runs the same bounce body on an NBL-lane
+prefix: per-lane RNG draws (white noise from the carried xorshift state at
+bounce >= 1), shading math and the float accumulation order are all
+unchanged, and the final scatter restores each lane's total.  Any drift —
+a lost uint32 state bit through the f32 pack, a wrong mask at the
+boundary, a reordered accumulation — shows up as non-equality here.
+"""
+
+import jax.numpy as jnp
+import numpy as np
+import pytest
+
+from buas_pathtracer_tpu.core import sampler as smp
+from buas_pathtracer_tpu.core import vec
+from buas_pathtracer_tpu.integrators import advanced as adv
+from buas_pathtracer_tpu.models import camera as cm
+from buas_pathtracer_tpu.models.scene import Scene, SceneSettings
+
+W, H = 96, 48
+N = W * H
+
+
+def _scene() -> Scene:
+    """Open scene (sky misses) so liveness decays fast enough that the
+    full-width loop breaks to the compact continuation within a bounce
+    or two even at tiny widths."""
+    sc = Scene(name="two-phase")
+    grey = sc.add_diffuse_material((0.6, 0.6, 0.6), 1.2)
+    blue = sc.add_diffuse_material((0.2, 0.3, 0.8), 1.4)
+    glass = sc.add_translucent_material((0.2, 0.05, 0.05), 1.5)
+    light = sc.add_emissive_material((25.0, 25.0, 22.0))
+    sc.add_box(grey, (8, 1, 8), vec.translate([0, -1.0, 0]))
+    sc.add_sphere(blue, 1.0, vec.translate([-1.2, 1.0, 0]))
+    sc.add_sphere(glass, 0.8, vec.translate([1.4, 0.9, -0.5]))
+    sc.add_sphere(light, 0.7, vec.translate([0, 5.0, 2.0]))
+    cam = cm.make_camera(p=(0, 2.0, -6.0), vfov=np.radians(45),
+                         aspect=W / H)
+    sc.camera = cm.aim_camera_at(cam, (0, 1.0, 0))
+    return sc
+
+
+def _render(monkeypatch, two_phase: bool, nbl_blocks: int):
+    monkeypatch.setenv("BUAS_TWO_PHASE", "1" if two_phase else "0")
+    monkeypatch.setenv("BUAS_PHASE_B_BLOCKS", str(nbl_blocks))
+    sc = _scene()
+    ps = sc.pack()
+    settings = SceneSettings(max_bounce_count=6, samples_per_pixel=1,
+                             integrator="Advanced Pathtracer")
+    strategy = int(settings.sampling_strategy)
+    px = (jnp.arange(N, dtype=jnp.int32) % W).astype(jnp.float32)
+    py = (jnp.arange(N, dtype=jnp.int32) // W).astype(jnp.float32)
+    sampler = smp.make_sampler(px.astype(jnp.uint32),
+                               py.astype(jnp.uint32),
+                               jnp.uint32(3), strategy=strategy)
+    sampler, aa_u, aa_v = smp.sample_2d(sampler, strategy,
+                                        smp.SampleDimension.AA, 0)
+    sampler, dof_u, dof_v = smp.sample_2d(sampler, strategy,
+                                          smp.SampleDimension.DOF, 0)
+    rays = cm.generate_rays(sc.camera, px, py, W, H, aa_u, aa_v,
+                            dof_u, dof_v, 0.0, 1.0, 6, 0.0, 0.0)
+    color, _, stats = adv.advanced(ps, settings, sampler, rays.o, rays.d,
+                                   n_lights=sc.n_lights)
+    img = np.stack([np.asarray(color.x), np.asarray(color.y),
+                    np.asarray(color.z)])
+    assert np.isfinite(img).all()
+    return img, np.asarray(stats)
+
+
+@pytest.fixture(scope="module")
+def single_loop_image():
+    # scope-module fixture can't use monkeypatch; set env via a local shim
+    class _MP:
+        def setenv(self, k, v):
+            import os
+            os.environ[k] = v
+
+    return _render(_MP(), two_phase=False, nbl_blocks=1)
+
+
+@pytest.mark.parametrize("nbl_blocks", [1, 3])
+def test_two_phase_bit_identical(single_loop_image, monkeypatch,
+                                 nbl_blocks):
+    """nbl=1024 breaks late (deep decay), nbl=3072 breaks at bounce 1 —
+    both continuations must reproduce the single loop exactly, stats
+    included (same accumulation order throughout)."""
+    ref_img, ref_stats = single_loop_image
+    img, stats = _render(monkeypatch, two_phase=True,
+                         nbl_blocks=nbl_blocks)
+    np.testing.assert_array_equal(img, ref_img)
+    # ray count is exact; node-visit/tri-test counters are block-union
+    # diagnostics and legitimately SHRINK when the wavefront compacts
+    # (smaller lockstep unions per block)
+    assert stats[0] == ref_stats[0]
+    assert 0 < stats[1] <= ref_stats[1]
+
+
+def test_phase_hint_ladder_smoke(single_loop_image, monkeypatch):
+    """The executable-budget hint path (phase_compact_hint forcing the
+    single full-width Morton walk in traverse_dispatch) only engages when
+    the phase-B width exceeds the packet compact capacity; shrink
+    COMPACT_BLOCKS so it engages at test scale and prove the image stays
+    bit-identical through that dispatch too."""
+    from buas_pathtracer_tpu.ops import pallas_packet as pp
+
+    monkeypatch.setattr(pp, "COMPACT_BLOCKS", 1)
+    img, _ = _render(monkeypatch, two_phase=True, nbl_blocks=2)
+    np.testing.assert_array_equal(img, single_loop_image[0])
