@@ -106,29 +106,43 @@ def advanced(ps: PackedScene, settings: SceneSettings, sampler: smp.Sampler,
     # discipline, see ops/traverse_wide.py).
     lane = jnp.arange(STACK_DEPTH, dtype=jnp.int32)[:, None]  # (D, 1)
 
-    # Two-phase wavefront compaction (round-3 lever 4, built round 4):
-    # bounces past the first run mostly-dead wavefronts, yet every bounce
-    # pays full-width VPU math for shading, NEE sampling and state merges
-    # (~25 ms/bounce at 2.07M lanes, tools/prof37).  As soon as the live
-    # count fits NBL static lanes (and bounce >= 1), the full-width loop
-    # BREAKS; the survivors are packed to an NBL-lane prefix with one row
-    # gather and the SAME body finishes the remaining bounces there.
-    # Bit-identical to the single loop: per-lane draws (white noise from
-    # the carried xorshift state only, bounce >= 1), math and accumulation
-    # order are unchanged, and the final scatter RESTORES (not adds) each
-    # lane's total.  jit-static gate; env knobs are read at trace time.
-    nbl = int(_os.environ.get("BUAS_PHASE_B_BLOCKS", "512")) * 1024
+    # Staged wavefront compaction (round-3 lever 4, built round 4; measured
+    # -260 ms on the 1080p bench frame at one stage): bounces past the
+    # first run mostly-dead wavefronts, yet every bounce pays full-width
+    # VPU math for shading, NEE sampling and state merges (~25 ms/bounce at
+    # 2.07M lanes, tools/prof37).  As soon as the live count fits the next
+    # static stage width (and bounce >= 1), the running loop BREAKS; the
+    # survivors are packed to the stage prefix with one row gather and the
+    # SAME body finishes the remaining bounces there — recursively down the
+    # BUAS_PHASE_BLOCKS ladder (default 512k -> 128k lanes).  Bit-identical
+    # to the single loop: per-lane draws (white noise from the carried
+    # xorshift state only, bounce >= 1), math and accumulation order are
+    # unchanged, and each stage's scatter RESTORES (not adds) lane totals.
+    # jit-static gate; env knobs are read at trace time.
+    _pb = _os.environ.get("BUAS_PHASE_BLOCKS", "512,128")
+    stage_widths = []
+    for tok in _pb.split(","):
+        tok = tok.strip()
+        if not tok:
+            continue
+        wd = int(tok) * 1024
+        if wd < (stage_widths[-1] if stage_widths else n[0]):
+            stage_widths.append(wd)
     two_phase = (_os.environ.get("BUAS_TWO_PHASE", "1") == "1"
-                 and not SORT_RAYS and max_bounces > 2 and n[0] > nbl
+                 and not SORT_RAYS and max_bounces > 2 and bool(stage_widths)
                  and getattr(sampler.sample_index, "ndim", 0) == 0)
 
-    def cond(st):
-        bounce, alive = st[0], st[1]
-        more = (bounce < max_bounces) & jnp.any(alive)
-        if two_phase:
-            nlive = jnp.sum(alive.astype(jnp.int32))
-            more = more & ~((bounce >= 1) & (nlive <= nbl))
-        return more
+    def make_cond(break_width):
+        def cond(st):
+            bounce, alive = st[0], st[1]
+            more = (bounce < max_bounces) & jnp.any(alive)
+            if break_width is not None:
+                nlive = jnp.sum(alive.astype(jnp.int32))
+                more = more & ~((bounce >= 1) & (nlive <= break_width))
+            return more
+        return cond
+
+    cond = make_cond(stage_widths[0] if two_phase else None)
 
     def body(st):
         (bounce, alive, o, d, throughput, total, s,
@@ -492,85 +506,101 @@ def advanced(ps: PackedScene, settings: SceneSettings, sampler: smp.Sampler,
         def _passthrough(st):
             return (st[5].x, st[5].y, st[5].z, st[11])
 
-        def _compact_continue(st):
-            """Pack the survivors into an NBL-lane prefix (one argsort +
-            one (NBL, 32) row gather + MXU transposes on both ends — the
+        def _continue_stage(out_prev, stage_i):
+            """If the stage-(i-1) loop broke with bounces left, pack the
+            survivors into the stage-i prefix (one argsort + one
+            (NBL, 32) row gather + MXU transposes on both ends — the
             movement discipline of ops/traverse_wide._traverse_full) and
-            finish the remaining bounces there.  The RNG state (uint32)
-            crosses the f32 pack as two exact 16-bit halves — NEVER as a
-            bitcast pattern (CLAUDE.md pitfall 1)."""
-            (bounce, alive, o2, d2, tp2, tot2, s2,
-             stack2, stack_at2, is_spec2, prev_n2, stats2, _pix) = st
-            nlive = jnp.sum(alive.astype(jnp.int32))
-            perm = jnp.argsort(~alive, stable=True)
-            ids = perm[:nbl]
-            hi = jnp.right_shift(s2.state, jnp.uint32(16)
-                                 ).astype(jnp.float32)
-            lo = jnp.bitwise_and(s2.state, jnp.uint32(0xFFFF)
-                                 ).astype(jnp.float32)
-            cols = [o2.x, o2.y, o2.z, d2.x, d2.y, d2.z,
-                    tp2.x, tp2.y, tp2.z, tot2.x, tot2.y, tot2.z,
-                    prev_n2.x, prev_n2.y, prev_n2.z, hi, lo,
-                    stack_at2.astype(jnp.float32),
-                    is_spec2.astype(jnp.float32)]
-            cols += [stack2[k].astype(jnp.float32)
-                     for k in range(STACK_DEPTH)]
-            while len(cols) % 8:  # 27 fields -> 32-wide pack matrix
-                cols.append(jnp.zeros_like(o2.x))
-            eye = jnp.eye(len(cols), dtype=jnp.float32)
-            big = jax.lax.dot_general(
-                jnp.stack(cols), eye, (((0,), (0,)), ((), ())),
-                precision=jax.lax.Precision.HIGHEST,
-                preferred_element_type=jnp.float32)  # (N, C) rows
-            bT = jax.lax.dot_general(
-                eye, big[ids], (((1,), (1,)), ((), ())),
-                precision=jax.lax.Precision.HIGHEST,
-                preferred_element_type=jnp.float32)  # (C, NBL)
-            alive_b = jnp.arange(nbl, dtype=jnp.int32) < nlive
-            state_b = jnp.bitwise_or(
-                jnp.left_shift(bT[15].astype(jnp.uint32), jnp.uint32(16)),
-                bT[16].astype(jnp.uint32))
-            s_b = smp.Sampler(
-                x=jnp.zeros(nbl, jnp.uint32), y=jnp.zeros(nbl, jnp.uint32),
-                sample_index=s2.sample_index, state=state_b,
-                bn=jnp.zeros((0, nbl), jnp.float32),
-                # non-empty zero `pre` keeps sample_1d/2d on the table-free
-                # precomputed path; its values are never selected at
-                # bounce >= 1 (white noise only)
-                pre=jnp.zeros((s2.pre.shape[0], nbl), jnp.float32))
-            st_b = (bounce, alive_b,
-                    Vec3(bT[0], bT[1], bT[2]), Vec3(bT[3], bT[4], bT[5]),
-                    Vec3(bT[6], bT[7], bT[8]), Vec3(bT[9], bT[10], bT[11]),
-                    s_b,
-                    jnp.stack([bT[19 + k] for k in range(STACK_DEPTH)]
-                              ).astype(jnp.int32),
-                    bT[17].astype(jnp.int32), bT[18] > 0.5,
-                    Vec3(bT[12], bT[13], bT[14]), stats2,
-                    jnp.arange(nbl, dtype=jnp.int32))
+            finish there, recursing down the remaining stage widths.  The
+            RNG state (uint32) crosses the f32 pack as two exact 16-bit
+            halves — NEVER as a bitcast pattern (CLAUDE.md pitfall 1).
+            Returns (total.x/y/z, stats) at the PREVIOUS stage's width."""
+            nbl = stage_widths[stage_i]
+            next_w = (stage_widths[stage_i + 1]
+                      if stage_i + 1 < len(stage_widths) else None)
 
-            def cond_b(stb):
-                return (stb[0] < max_bounces) & jnp.any(stb[1])
+            def _compact(st):
+                (bounce, alive, o2, d2, tp2, tot2, s2,
+                 stack2, stack_at2, is_spec2, prev_n2, stats2, _pix) = st
+                nlive = jnp.sum(alive.astype(jnp.int32))
+                perm = jnp.argsort(~alive, stable=True)
+                ids = perm[:nbl]
+                hi = jnp.right_shift(s2.state, jnp.uint32(16)
+                                     ).astype(jnp.float32)
+                lo = jnp.bitwise_and(s2.state, jnp.uint32(0xFFFF)
+                                     ).astype(jnp.float32)
+                cols = [o2.x, o2.y, o2.z, d2.x, d2.y, d2.z,
+                        tp2.x, tp2.y, tp2.z, tot2.x, tot2.y, tot2.z,
+                        prev_n2.x, prev_n2.y, prev_n2.z, hi, lo,
+                        stack_at2.astype(jnp.float32),
+                        is_spec2.astype(jnp.float32)]
+                cols += [stack2[k].astype(jnp.float32)
+                         for k in range(STACK_DEPTH)]
+                while len(cols) % 8:  # 27 fields -> 32-wide pack matrix
+                    cols.append(jnp.zeros_like(o2.x))
+                eye = jnp.eye(len(cols), dtype=jnp.float32)
+                big = jax.lax.dot_general(
+                    jnp.stack(cols), eye, (((0,), (0,)), ((), ())),
+                    precision=jax.lax.Precision.HIGHEST,
+                    preferred_element_type=jnp.float32)  # (N, C) rows
+                bT = jax.lax.dot_general(
+                    eye, big[ids], (((1,), (1,)), ((), ())),
+                    precision=jax.lax.Precision.HIGHEST,
+                    preferred_element_type=jnp.float32)  # (C, NBL)
+                alive_b = jnp.arange(nbl, dtype=jnp.int32) < nlive
+                state_b = jnp.bitwise_or(
+                    jnp.left_shift(bT[15].astype(jnp.uint32),
+                                   jnp.uint32(16)),
+                    bT[16].astype(jnp.uint32))
+                s_b = smp.Sampler(
+                    x=jnp.zeros(nbl, jnp.uint32),
+                    y=jnp.zeros(nbl, jnp.uint32),
+                    sample_index=s2.sample_index, state=state_b,
+                    bn=jnp.zeros((0, nbl), jnp.float32),
+                    # non-empty zero `pre` keeps sample_1d/2d on the
+                    # table-free precomputed path; its values are never
+                    # selected at bounce >= 1 (white noise only)
+                    pre=jnp.zeros((s2.pre.shape[0], nbl), jnp.float32))
+                st_b = (bounce, alive_b,
+                        Vec3(bT[0], bT[1], bT[2]),
+                        Vec3(bT[3], bT[4], bT[5]),
+                        Vec3(bT[6], bT[7], bT[8]),
+                        Vec3(bT[9], bT[10], bT[11]),
+                        s_b,
+                        jnp.stack([bT[19 + k]
+                                   for k in range(STACK_DEPTH)]
+                                  ).astype(jnp.int32),
+                        bT[17].astype(jnp.int32), bT[18] > 0.5,
+                        Vec3(bT[12], bT[13], bT[14]), stats2,
+                        jnp.arange(nbl, dtype=jnp.int32))
 
-            # trace-time hint: phase-B traversal call sites emit only the
-            # prefilter + one full-width Morton-compact walk (2 extra
-            # Mosaic kernels, not 6) — the axon tunnel's per-process
-            # executable budget is the constraint (CLAUDE.md 4b)
-            from ..ops import pallas_packet as _pp
-            with _pp.phase_compact_hint():
-                outb = jax.lax.while_loop(cond_b, body, st_b)
-            tb = outb[5]
-            # RESTORE (not add): tb already accumulated on top of each
-            # lane's gathered total, preserving the single-loop float
-            # accumulation order exactly; untouched (dead) gathered lanes
-            # write their own value back unchanged
-            return (tot2.x.at[ids].set(tb.x, unique_indices=True),
-                    tot2.y.at[ids].set(tb.y, unique_indices=True),
-                    tot2.z.at[ids].set(tb.z, unique_indices=True),
-                    outb[11])
+                # trace-time hint: compact-stage traversal call sites emit
+                # only the prefilter + one full-width Morton-compact walk
+                # (2 extra Mosaic kernels per stage, not 6) — the axon
+                # tunnel's per-process executable budget is the constraint
+                # (CLAUDE.md 4b)
+                from ..ops import pallas_packet as _pp
+                with _pp.phase_compact_hint():
+                    outb = jax.lax.while_loop(make_cond(next_w), body, st_b)
+                if next_w is not None:
+                    tbx, tby, tbz, stats_b = _continue_stage(
+                        outb, stage_i + 1)
+                else:
+                    tb = outb[5]
+                    tbx, tby, tbz, stats_b = tb.x, tb.y, tb.z, outb[11]
+                # RESTORE (not add): the stage totals already accumulated
+                # on top of each lane's gathered total, preserving the
+                # single-loop float accumulation order exactly; untouched
+                # (dead) gathered lanes write their own value back
+                return (tot2.x.at[ids].set(tbx, unique_indices=True),
+                        tot2.y.at[ids].set(tby, unique_indices=True),
+                        tot2.z.at[ids].set(tbz, unique_indices=True),
+                        stats_b)
 
-        pending = (out[0] < max_bounces) & jnp.any(out[1])
-        tx, ty, tz, stats_out = jax.lax.cond(
-            pending, _compact_continue, _passthrough, out)
+            pending = (out_prev[0] < max_bounces) & jnp.any(out_prev[1])
+            return jax.lax.cond(pending, _compact, _passthrough, out_prev)
+
+        tx, ty, tz, stats_out = _continue_stage(out, 0)
         total = Vec3(tx, ty, tz)
 
     if SORT_RAYS:

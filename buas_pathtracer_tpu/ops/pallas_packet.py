@@ -1672,10 +1672,13 @@ def traverse_dispatch(rows, scene_lo, scene_hi, o: Vec3, d: Vec3, t0,
     reduce: mean resultant length of the live directions within blocks."""
     n = int(t0.shape[0])
     compact_n = COMPACT_BLOCKS * BLOCK
-    if n <= compact_n:
+    if n <= compact_n and not _PHASE_HINT:
         return packet_traverse(rows, o, d, t0, ignored_prim,
                                occlusion=occlusion, interpret=interpret,
                                v4_tables=v4_tables)
+    # under the phase hint, small stage widths keep the per-bounce
+    # prefilter + Morton re-sort (the wave scatters again every bounce;
+    # natural order would grow every block's visit union)
 
     coh = block_coherence(d, t0)
 

@@ -42,9 +42,9 @@ def _scene() -> Scene:
     return sc
 
 
-def _render(monkeypatch, two_phase: bool, nbl_blocks: int):
+def _render(monkeypatch, two_phase: bool, stages: str):
     monkeypatch.setenv("BUAS_TWO_PHASE", "1" if two_phase else "0")
-    monkeypatch.setenv("BUAS_PHASE_B_BLOCKS", str(nbl_blocks))
+    monkeypatch.setenv("BUAS_PHASE_BLOCKS", stages)
     sc = _scene()
     ps = sc.pack()
     settings = SceneSettings(max_bounce_count=6, samples_per_pixel=1,
@@ -77,18 +77,18 @@ def single_loop_image():
             import os
             os.environ[k] = v
 
-    return _render(_MP(), two_phase=False, nbl_blocks=1)
+    return _render(_MP(), two_phase=False, stages="1")
 
 
-@pytest.mark.parametrize("nbl_blocks", [1, 3])
+@pytest.mark.parametrize("stages", ["1", "3", "3,1"])
 def test_two_phase_bit_identical(single_loop_image, monkeypatch,
-                                 nbl_blocks):
-    """nbl=1024 breaks late (deep decay), nbl=3072 breaks at bounce 1 —
-    both continuations must reproduce the single loop exactly, stats
-    included (same accumulation order throughout)."""
+                                 stages):
+    """1024 lanes breaks late (deep decay), 3072 breaks at bounce 1,
+    "3,1" chains TWO compact stages — every continuation must
+    reproduce the single loop exactly."""
     ref_img, ref_stats = single_loop_image
     img, stats = _render(monkeypatch, two_phase=True,
-                         nbl_blocks=nbl_blocks)
+                         stages=stages)
     np.testing.assert_array_equal(img, ref_img)
     # ray count is exact; node-visit/tri-test counters are block-union
     # diagnostics and legitimately SHRINK when the wavefront compacts
@@ -106,5 +106,5 @@ def test_phase_hint_ladder_smoke(single_loop_image, monkeypatch):
     from buas_pathtracer_tpu.ops import pallas_packet as pp
 
     monkeypatch.setattr(pp, "COMPACT_BLOCKS", 1)
-    img, _ = _render(monkeypatch, two_phase=True, nbl_blocks=2)
+    img, _ = _render(monkeypatch, two_phase=True, stages="2")
     np.testing.assert_array_equal(img, single_loop_image[0])
