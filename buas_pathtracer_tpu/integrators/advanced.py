@@ -79,6 +79,63 @@ def _mat_rows(ps: PackedScene, ids):
         preferred_element_type=jnp.float32)  # (16, N)
 
 
+def _permute_state(ids, o, d, tp, tot, prev_n, state, stack, stack_at,
+                   is_spec, cont, pix):
+    """Move the whole per-ray bounce state through ONE packed row gather.
+
+    All 29 per-lane fields ride a (N, 32) f32 matrix (MXU transposes on
+    both ends, the movement discipline of traverse_wide._traverse_full);
+    SORT_RAYS' original sin was ~25 separate permutation gathers.  The
+    RNG state (uint32) crosses as two exact 16-bit halves — NEVER as a
+    bitcast pattern (CLAUDE.md pitfall 1).  ``ids`` may be a prefix
+    (stage compaction) or a full permutation (in-stage per-bounce sort).
+    Returns the fields at ``len(ids)`` lanes."""
+    hi = jnp.right_shift(state, jnp.uint32(16)).astype(jnp.float32)
+    lo = jnp.bitwise_and(state, jnp.uint32(0xFFFF)).astype(jnp.float32)
+    cols = [o.x, o.y, o.z, d.x, d.y, d.z,
+            tp.x, tp.y, tp.z, tot.x, tot.y, tot.z,
+            prev_n.x, prev_n.y, prev_n.z, hi, lo,
+            stack_at.astype(jnp.float32), is_spec.astype(jnp.float32),
+            cont.astype(jnp.float32), pix.astype(jnp.float32)]
+    cols += [stack[k].astype(jnp.float32) for k in range(STACK_DEPTH)]
+    while len(cols) % 8:  # 29 fields -> 32-wide pack matrix
+        cols.append(jnp.zeros_like(o.x))
+    eye = jnp.eye(len(cols), dtype=jnp.float32)
+    big = jax.lax.dot_general(
+        jnp.stack(cols), eye, (((0,), (0,)), ((), ())),
+        precision=jax.lax.Precision.HIGHEST,
+        preferred_element_type=jnp.float32)  # (N, C) rows
+    bT = jax.lax.dot_general(
+        eye, big[ids], (((1,), (1,)), ((), ())),
+        precision=jax.lax.Precision.HIGHEST,
+        preferred_element_type=jnp.float32)  # (C, len(ids))
+    state2 = jnp.bitwise_or(
+        jnp.left_shift(bT[15].astype(jnp.uint32), jnp.uint32(16)),
+        bT[16].astype(jnp.uint32))
+    stack2 = jnp.stack([bT[21 + k] for k in range(STACK_DEPTH)]
+                       ).astype(jnp.int32)
+    return (Vec3(bT[0], bT[1], bT[2]), Vec3(bT[3], bT[4], bT[5]),
+            Vec3(bT[6], bT[7], bT[8]), Vec3(bT[9], bT[10], bT[11]),
+            Vec3(bT[12], bT[13], bT[14]), state2, stack2,
+            bT[17].astype(jnp.int32), bT[18] > 0.5, bT[19] > 0.5,
+            bT[20].astype(jnp.int32))
+
+
+def _stage_sort_key(ps: PackedScene, o: Vec3, d: Vec3, alive):
+    """m6d compact key for live lanes; root-prefiltered lanes (alive but
+    provably missing everything — 66% of a real diffuse wave, prof35)
+    sort JUST BEFORE the dead tail so live blocks stay dense, while
+    remaining in the stage to collect their sky miss next bounce."""
+    from ..ops import pallas_packet as _pp
+    nn = alive.shape
+    big_t = jnp.full(nn, traverse.BIG_T)
+    live_r = alive & _pp.root_prefilter(ps.wide_rows, o, d, big_t)
+    key = _pp._compact_key(o, d, jnp.full(nn, -1, jnp.int32),
+                           ps.scene_lo, ps.scene_hi)
+    key = jnp.where(live_r, key, jnp.int32(0x7FFFFFFE))
+    return jnp.where(alive, key, jnp.int32(0x7FFFFFFF)), live_r
+
+
 def advanced(ps: PackedScene, settings: SceneSettings, sampler: smp.Sampler,
              ray_o: Vec3, ray_d: Vec3, n_lights: int = 0):
     """Returns (color: Vec3, sampler)."""
@@ -144,17 +201,37 @@ def advanced(ps: PackedScene, settings: SceneSettings, sampler: smp.Sampler,
 
     cond = make_cond(stage_widths[0] if two_phase else None)
 
-    def body(st):
+    def body_stage(st):
+        # stage-width variant: presorted traversal + end-of-bounce re-sort
+        return body(st, _in_stage=True)
+
+    def body(st, _in_stage=False):
         (bounce, alive, o, d, throughput, total, s,
          stack, stack_at, is_specular, prev_n, stats, pix) = st
-        nn = alive.shape  # body is width-agnostic: the two-phase compacted
-        #                   continuation (below) re-runs it at NB lanes
+        nn = alive.shape  # body is width-agnostic: the staged compacted
+        #                   continuations (below) re-run it at stage widths
 
         # dead rays get max_t = -1: the root slab test fails and they exit
         # the lockstep traversal in one iteration instead of re-walking the
         # BVH with stale state every remaining bounce
-        hit = traverse.intersect_scene(
-            ps, o, d, max_t=jnp.where(alive, traverse.BIG_T, -1.0))
+        if _in_stage:
+            # stage loops walk PRESORTED: the end-of-bounce sort below
+            # ordered the lanes by the m6d compact key, so the grouped
+            # packet kernel takes the wave directly — no per-wave gather,
+            # no result scatter-back.  The root prefilter folds into
+            # max_t: proven misses walk with t0 < 0 (one-iteration exit)
+            # and shade as sky misses — the dispatch-prefilter semantics,
+            # bit-identically.
+            from ..ops import pallas_packet as _pp
+            live_r = alive & _pp.root_prefilter(
+                ps.wide_rows, o, d, jnp.full(nn, traverse.BIG_T))
+            with _pp.presorted_hint():
+                hit = traverse.intersect_scene(
+                    ps, o, d,
+                    max_t=jnp.where(live_r, traverse.BIG_T, -1.0))
+        else:
+            hit = traverse.intersect_scene(
+                ps, o, d, max_t=jnp.where(alive, traverse.BIG_T, -1.0))
         found = hit.valid & alive
         missed = ~hit.valid & alive
         stats = stats + jnp.array([jnp.sum(alive.astype(jnp.float32)),
@@ -480,6 +557,19 @@ def advanced(ps: PackedScene, settings: SceneSettings, sampler: smp.Sampler,
             prev_n = Vec3(g(prev_n.x), g(prev_n.y), g(prev_n.z))
             pix = g(pix)
 
+        if _in_stage:
+            # re-sort the stage for the NEXT bounce's presorted walk: one
+            # packed row gather of the whole state (see _permute_state).
+            # Pure per-lane permutation — results stay bit-identical; the
+            # pix column tracks stage-entry slots for the final unsort.
+            key, _ = _stage_sort_key(ps, o, d, cont)
+            ids2 = jnp.argsort(key, stable=True)
+            (o, d, throughput, total, prev_n, state2, stack, stack_at,
+             is_specular, cont, pix) = _permute_state(
+                ids2, o, d, throughput, total, prev_n, s.state, stack,
+                stack_at, is_specular, cont, pix)
+            s = s._replace(state=state2)
+
         return (bounce + 1, cont, o, d, throughput, total, s,
                 stack, stack_at, is_specular, prev_n, stats, pix)
 
@@ -522,36 +612,14 @@ def advanced(ps: PackedScene, settings: SceneSettings, sampler: smp.Sampler,
             def _compact(st):
                 (bounce, alive, o2, d2, tp2, tot2, s2,
                  stack2, stack_at2, is_spec2, prev_n2, stats2, _pix) = st
-                nlive = jnp.sum(alive.astype(jnp.int32))
-                perm = jnp.argsort(~alive, stable=True)
-                ids = perm[:nbl]
-                hi = jnp.right_shift(s2.state, jnp.uint32(16)
-                                     ).astype(jnp.float32)
-                lo = jnp.bitwise_and(s2.state, jnp.uint32(0xFFFF)
-                                     ).astype(jnp.float32)
-                cols = [o2.x, o2.y, o2.z, d2.x, d2.y, d2.z,
-                        tp2.x, tp2.y, tp2.z, tot2.x, tot2.y, tot2.z,
-                        prev_n2.x, prev_n2.y, prev_n2.z, hi, lo,
-                        stack_at2.astype(jnp.float32),
-                        is_spec2.astype(jnp.float32)]
-                cols += [stack2[k].astype(jnp.float32)
-                         for k in range(STACK_DEPTH)]
-                while len(cols) % 8:  # 27 fields -> 32-wide pack matrix
-                    cols.append(jnp.zeros_like(o2.x))
-                eye = jnp.eye(len(cols), dtype=jnp.float32)
-                big = jax.lax.dot_general(
-                    jnp.stack(cols), eye, (((0,), (0,)), ((), ())),
-                    precision=jax.lax.Precision.HIGHEST,
-                    preferred_element_type=jnp.float32)  # (N, C) rows
-                bT = jax.lax.dot_general(
-                    eye, big[ids], (((1,), (1,)), ((), ())),
-                    precision=jax.lax.Precision.HIGHEST,
-                    preferred_element_type=jnp.float32)  # (C, NBL)
-                alive_b = jnp.arange(nbl, dtype=jnp.int32) < nlive
-                state_b = jnp.bitwise_or(
-                    jnp.left_shift(bT[15].astype(jnp.uint32),
-                                   jnp.uint32(16)),
-                    bT[16].astype(jnp.uint32))
+                # m6d boundary key: the stage's FIRST presorted walk needs
+                # block-coherent lanes, not merely alive-first packing
+                key, _ = _stage_sort_key(ps, o2, d2, alive)
+                ids = jnp.argsort(key, stable=True)[:nbl]
+                (o_b, d_b, tp_b, tot_b, pn_b, state_b, stack_b, sat_b,
+                 spec_b, alive_b, _) = _permute_state(
+                    ids, o2, d2, tp2, tot2, prev_n2, s2.state, stack2,
+                    stack_at2, is_spec2, alive, _pix)
                 s_b = smp.Sampler(
                     x=jnp.zeros(nbl, jnp.uint32),
                     y=jnp.zeros(nbl, jnp.uint32),
@@ -561,17 +629,8 @@ def advanced(ps: PackedScene, settings: SceneSettings, sampler: smp.Sampler,
                     # table-free precomputed path; its values are never
                     # selected at bounce >= 1 (white noise only)
                     pre=jnp.zeros((s2.pre.shape[0], nbl), jnp.float32))
-                st_b = (bounce, alive_b,
-                        Vec3(bT[0], bT[1], bT[2]),
-                        Vec3(bT[3], bT[4], bT[5]),
-                        Vec3(bT[6], bT[7], bT[8]),
-                        Vec3(bT[9], bT[10], bT[11]),
-                        s_b,
-                        jnp.stack([bT[19 + k]
-                                   for k in range(STACK_DEPTH)]
-                                  ).astype(jnp.int32),
-                        bT[17].astype(jnp.int32), bT[18] > 0.5,
-                        Vec3(bT[12], bT[13], bT[14]), stats2,
+                st_b = (bounce, alive_b, o_b, d_b, tp_b, tot_b, s_b,
+                        stack_b, sat_b, spec_b, pn_b, stats2,
                         jnp.arange(nbl, dtype=jnp.int32))
 
                 # trace-time hint: compact-stage traversal call sites emit
@@ -581,7 +640,8 @@ def advanced(ps: PackedScene, settings: SceneSettings, sampler: smp.Sampler,
                 # (CLAUDE.md 4b)
                 from ..ops import pallas_packet as _pp
                 with _pp.phase_compact_hint():
-                    outb = jax.lax.while_loop(make_cond(next_w), body, st_b)
+                    outb = jax.lax.while_loop(make_cond(next_w), body_stage,
+                                              st_b)
                 if next_w is not None:
                     tbx, tby, tbz, stats_b = _continue_stage(
                         outb, stage_i + 1)
@@ -591,10 +651,15 @@ def advanced(ps: PackedScene, settings: SceneSettings, sampler: smp.Sampler,
                 # RESTORE (not add): the stage totals already accumulated
                 # on top of each lane's gathered total, preserving the
                 # single-loop float accumulation order exactly; untouched
-                # (dead) gathered lanes write their own value back
-                return (tot2.x.at[ids].set(tbx, unique_indices=True),
-                        tot2.y.at[ids].set(tby, unique_indices=True),
-                        tot2.z.at[ids].set(tbz, unique_indices=True),
+                # (dead) gathered lanes write their own value back.  The
+                # in-stage per-bounce sorts permuted the lanes, so the
+                # scatter targets compose through the stage's pix column
+                # (lane j sits at stage-entry slot pix[j] -> parent slot
+                # ids[pix[j]]).
+                tgt = ids[outb[12]]
+                return (tot2.x.at[tgt].set(tbx, unique_indices=True),
+                        tot2.y.at[tgt].set(tby, unique_indices=True),
+                        tot2.z.at[tgt].set(tbz, unique_indices=True),
                         stats_b)
 
             pending = (out_prev[0] < max_bounces) & jnp.any(out_prev[1])

@@ -1656,6 +1656,22 @@ class phase_compact_hint:
         _PHASE_HINT.pop()
 
 
+_PRESORT_HINT = []  # trace-time stack: while non-empty, traverse_dispatch
+# trusts the caller's lane order (the staged integrator keeps its state
+# m6d-sorted per bounce and folds the root prefilter into max_t) and runs
+# the grouped packet kernel DIRECTLY — no key, no argsort, no per-wave
+# row gather, no scatter-back.  Same kernel instantiation as the hinted
+# Morton walk, so zero extra executables.
+
+
+class presorted_hint:
+    def __enter__(self):
+        _PRESORT_HINT.append(True)
+
+    def __exit__(self, *exc):
+        _PRESORT_HINT.pop()
+
+
 def traverse_dispatch(rows, scene_lo, scene_hi, o: Vec3, d: Vec3, t0,
                       ignored_prim, occlusion: bool, interpret: bool = False,
                       v4_tables=None):
@@ -1672,6 +1688,10 @@ def traverse_dispatch(rows, scene_lo, scene_hi, o: Vec3, d: Vec3, t0,
     reduce: mean resultant length of the live directions within blocks."""
     n = int(t0.shape[0])
     compact_n = COMPACT_BLOCKS * BLOCK
+    if _PRESORT_HINT and not occlusion:
+        return packet_traverse(rows, o, d, t0, ignored_prim,
+                               occlusion=False, interpret=interpret,
+                               v4_tables=v4_tables, groups=8)
     if n <= compact_n and not _PHASE_HINT:
         return packet_traverse(rows, o, d, t0, ignored_prim,
                                occlusion=occlusion, interpret=interpret,

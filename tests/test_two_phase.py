@@ -97,14 +97,18 @@ def test_two_phase_bit_identical(single_loop_image, monkeypatch,
     assert 0 < stats[1] <= ref_stats[1]
 
 
-def test_phase_hint_ladder_smoke(single_loop_image, monkeypatch):
-    """The executable-budget hint path (phase_compact_hint forcing the
-    single full-width Morton walk in traverse_dispatch) only engages when
-    the phase-B width exceeds the packet compact capacity; shrink
-    COMPACT_BLOCKS so it engages at test scale and prove the image stays
-    bit-identical through that dispatch too."""
+def test_packet_dispatch_hints(monkeypatch):
+    """Drive the stage loops through the REAL packet dispatch (interpret
+    mode): the presorted CH walk (presorted_hint -> direct grouped
+    kernel, no gather/scatter) and the hinted occlusion Morton walk
+    (phase_compact_hint) must reproduce the single loop bit-identically,
+    including the pix-composed total unsort.  COMPACT_BLOCKS shrinks so
+    both hints engage at test scale."""
     from buas_pathtracer_tpu.ops import pallas_packet as pp
 
+    monkeypatch.setenv("BUAS_TRAVERSAL", "packet")
+    monkeypatch.setenv("BUAS_PACKET_INTERPRET", "1")
     monkeypatch.setattr(pp, "COMPACT_BLOCKS", 1)
-    img, _ = _render(monkeypatch, two_phase=True, stages="2")
-    np.testing.assert_array_equal(img, single_loop_image[0])
+    ref_img, _ = _render(monkeypatch, two_phase=False, stages="1")
+    img, _ = _render(monkeypatch, two_phase=True, stages="2,1")
+    np.testing.assert_array_equal(img, ref_img)
