@@ -42,10 +42,15 @@ def _scene() -> Scene:
     return sc
 
 
-def _render(monkeypatch, two_phase: bool, stages: str):
+def _render(monkeypatch, two_phase: bool, stages: str, env: bool = False):
     monkeypatch.setenv("BUAS_TWO_PHASE", "1" if two_phase else "0")
     monkeypatch.setenv("BUAS_PHASE_BLOCKS", stages)
     sc = _scene()
+    if env:
+        # tiny equirect env map: the merged light+env 2N shadow wave then
+        # crosses the stage widths (concat of two nbl-lane queries)
+        rng_ = np.random.RandomState(7)
+        sc.env_map = (rng_.rand(8, 16, 3) ** 2).astype(np.float32) * 3.0
     ps = sc.pack()
     settings = SceneSettings(max_bounce_count=6, samples_per_pixel=1,
                              integrator="Advanced Pathtracer")
@@ -95,6 +100,15 @@ def test_two_phase_bit_identical(single_loop_image, monkeypatch,
     # (smaller lockstep unions per block)
     assert stats[0] == ref_stats[0]
     assert 0 < stats[1] <= ref_stats[1]
+
+
+def test_two_phase_env_nee_bit_identical(monkeypatch):
+    """env-NEE doubles the stage shadow wave (light+env queries CONCAT
+    into one 2N occlusion call); the staged continuation must still
+    reproduce the single loop exactly."""
+    ref_img, _ = _render(monkeypatch, two_phase=False, stages="1", env=True)
+    img, _ = _render(monkeypatch, two_phase=True, stages="3,1", env=True)
+    np.testing.assert_array_equal(img, ref_img)
 
 
 def test_packet_dispatch_hints(monkeypatch):
