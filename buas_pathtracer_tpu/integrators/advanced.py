@@ -408,7 +408,17 @@ def advanced(ps: PackedScene, settings: SceneSettings, sampler: smp.Sampler,
             max_t_e = jnp.where(facing_e, traverse.BIG_T, -1.0)
             ign_e = jnp.full(nn, -1, jnp.int32)
 
-        if nee and env_nee:
+        # attribution-only knob: BUAS_DEBUG_NO_SHADOW=1 treats every NEE
+        # query as unoccluded (WRONG image, same wave shapes) — splits the
+        # NEE cost between the occlusion walk and the sampling math in
+        # bench A/Bs without a dedicated probe harness
+        _no_shadow = _os.environ.get("BUAS_DEBUG_NO_SHADOW", "0") == "1"
+        if _no_shadow:
+            if nee:
+                occluded = jnp.zeros(nn, bool)
+            if env_nee:
+                occ_e = jnp.zeros(nn, bool)
+        elif nee and env_nee:
             cat = jnp.concatenate
             occ2 = traverse.intersect_shadow_ray(
                 ps,
