@@ -572,9 +572,33 @@ LQ_CAP = 96  # per-group leaf/prim queue slots (force-drain keeps it < cap)
 VEC_STACK = 256  # v6 per-group stack capacity (2 lane-tiles; >= v5's 192)
 
 
+def _kernel_v7(res_ref, leaf_ref, *args, occlusion: bool, LPI: int,
+               UNROLL: int = 1):
+    """Grouped leaf-DMA walk (v7): the v6 vectorized grouped form of
+    :func:`_kernel_v5` over the v4 SPLIT tables — internal tree + prims
+    resident in VMEM, triangle-leaf rows streamed from HBM.
+
+    v4's block-lockstep walk makes 1024 scattered rays pay the UNION of
+    their visit sets (the same wall v5 removed on the resident path: 2.0x
+    measured on the real bounce wave, docs/PERFORMANCE.md round 4b), so
+    big-scene incoherent waves barely beat the XLA path (341.5 vs 466.4 ms,
+    round-3 Scale table).  v7 gives every sublane row its own walk like
+    v6; the only structural delta is the leaf fetch: a queue entry is the
+    SIGNED enc link from the split table (tri leaf -(l+1) -> async-copied
+    HBM row, prim res-index >= 0 -> resident fetch inside the guarded prim
+    body).  Each leaf step issues all G x LPI copies before the first
+    wait, so the copies overlap; there is no cross-iteration ring (v4's
+    LAG machinery) to reason about.  Child kinds come packed 2 bits each
+    from lane 58 (wide_bvh.split_for_dma) since lanes 50..57 hold the enc
+    links here."""
+    _kernel_v5(res_ref, *args, occlusion=occlusion, G=8, LPI=LPI,
+               UNROLL=UNROLL, VEC=True, DMA=True, leaf_ref=leaf_ref)
+
+
 def _kernel_v5(rows_ref, ox, oy, oz, dx, dy, dz, t0r, ignr, *refs,
                occlusion: bool, G: int, LPI: int, UNROLL: int = 1,
-               VEC: bool = False, PAIR: bool = False):
+               VEC: bool = False, PAIR: bool = False, DMA: bool = False,
+               leaf_ref=None):
     """Grouped walk kernel (v5): G independent walks per (8,128) block,
     each owning 8/G sublane rows, with KIND-UNIFORM iterations and up to
     LPI leaf rows consumed per leaf iteration.
@@ -614,7 +638,13 @@ def _kernel_v5(rows_ref, ox, oy, oz, dx, dy, dz, t0r, ignr, *refs,
     uniform columns.  Iteration sequence and hit results are BIT-IDENTICAL
     to VEC=False (parity-tested)."""
     assert G in (1, 8) and LPI >= 1
-    if VEC:
+    assert not (DMA and (PAIR or not VEC))
+    if DMA:
+        (to, po, tro, bvo, bwo, so, stackv, leafqv, sps_v, lqs_v, tt_acc,
+         slots, sems) = refs
+        lane_s = jax.lax.broadcasted_iota(jnp.int32, (BS, VEC_STACK), 1)
+        lane_q = jax.lax.broadcasted_iota(jnp.int32, (BS, BL), 1)
+    elif VEC:
         assert G == 8
         to, po, tro, bvo, bwo, so, stackv, leafqv, sps_v, lqs_v, tt_acc = refs
         lane_s = jax.lax.broadcasted_iota(jnp.int32, (BS, VEC_STACK), 1)
@@ -737,6 +767,9 @@ def _kernel_v5(rows_ref, ox, oy, oz, dx, dy, dz, t0r, ignr, *refs,
                     # order == float order for non-negative floats),
                     # bits [4:2] = child index, bits [1:0] = kind code.
                     iks = []
+                    # DMA (v7): lanes 50..57 hold the split-table enc links,
+                    # so the child kinds ride the lane-58 packed bitfield
+                    k58 = coli(nodes, 58) if DMA else None
                     for c in range(WIDE):
                         s = 2 + 6 * c
                         t1x = (col(nodes, s + 0) - o.x) * inv_d.x
@@ -756,9 +789,12 @@ def _kernel_v5(rows_ref, ox, oy, oz, dx, dy, dz, t0r, ignr, *refs,
                                        jnp.float32(BIG_T * 2.0))
                         ik = gred_min(jax.lax.bitcast_convert_type(
                             vk, jnp.int32), None)
+                        kd_c = (jnp.bitwise_and(
+                            jax.lax.shift_right_logical(k58, 2 * c), 3)
+                            if DMA else coli(nodes, 50 + c))
                         iks.append(jnp.bitwise_or(
                             jnp.bitwise_and(ik, jnp.int32(~_PK5_MASK)),
-                            jnp.int32(c << 2) + coli(nodes, 50 + c)))
+                            jnp.int32(c << 2) + kd_c))
                     if not occlusion:
                         # nearest-first per group: min/max network
                         for (i, j) in _SORT_PAIRS:
@@ -783,16 +819,31 @@ def _kernel_v5(rows_ref, ox, oy, oz, dx, dy, dz, t0r, ignr, *refs,
                             ikj = iks[j]                  # (8, 1)
                             okv = ikj < _PK5_SENT
                             kd = jnp.bitwise_and(ikj, 3)
-                            slot = base + jnp.bitwise_and(
+                            cidx = jnp.bitwise_and(
                                 jax.lax.shift_right_logical(ikj, 2), 7)
+                            if DMA:
+                                # recover the split-table enc link of the
+                                # sorted child by a vectorized one-hot
+                                # select over lanes 50..57 (8 (8,1) selects
+                                # per slot; no extracts).  The link IS the
+                                # queue entry: tri leaf -(l+1), prim res
+                                # index >= 0 — sign conventions inverted
+                                # vs the resident kernel's queue.
+                                slot = jnp.zeros_like(cidx)
+                                for c in range(WIDE):
+                                    slot = slot + jnp.where(
+                                        cidx == c, coli(nodes, 50 + c), 0)
+                                enc = slot
+                            else:
+                                slot = base + cidx
+                                enc = jnp.where(kd == KIND_TRIS, slot,
+                                                -slot - 1)
                             is_int = okv & (kd == KIND_INTERNAL)
                             stk = jnp.where((lane_s == sp_r) & is_int,
                                             slot, stk)
                             sp_r = sp_r + is_int.astype(jnp.int32)
                             is_lp = okv & ((kd == KIND_TRIS)
                                            | (kd == KIND_PRIM))
-                            enc = jnp.where(kd == KIND_TRIS, slot,
-                                            -slot - 1)
                             lq = jnp.where((lane_q == q_r) & is_lp, enc, lq)
                             q_r = q_r + is_lp.astype(jnp.int32)
                         stackv[:] = stk
@@ -874,6 +925,35 @@ def _kernel_v5(rows_ref, ox, oy, oz, dx, dy, dz, t0r, ignr, *refs,
                             reps.append((ready1, enc1, fetch_rows(i1)))
                             reps.append((ready2, enc2, fetch_rows(i2)))
                         lqs_v[:] = jnp.broadcast_to(q_r, (BS, BL))
+                    elif VEC and DMA:
+                        # v7: pop ALL LPI entries and START every leaf-row
+                        # copy before the first wait — the G x LPI copies
+                        # overlap in flight instead of serializing behind
+                        # each rep's triangle math.  A not-ready group pops
+                        # enc 0 (>= 0, classified prim) and a prim entry
+                        # needs no HBM row, so both copy row 0 harmlessly;
+                        # processing is masked by tri_rows either way.
+                        q_r = lqs_v[:][:, :1]             # (8, 1)
+                        lq = leafqv[:]
+                        for _rep in range(LPI):
+                            ready_r = q_r > 0
+                            enc_v = jnp.sum(
+                                jnp.where(lane_q == q_r - 1, lq, 0),
+                                axis=1, keepdims=True)    # (8, 1)
+                            q_r = q_r - ready_r.astype(jnp.int32)
+                            lidx, pidx = [], []
+                            for g in range(G):
+                                e = enc_v[g, 0]
+                                li = jnp.where(e < 0, -e - 1, 0)
+                                pltpu.make_async_copy(
+                                    leaf_ref.at[li],
+                                    slots.at[_rep * G + g],
+                                    sems.at[_rep * G + g]).start()
+                                lidx.append(li)
+                                pidx.append(jnp.where(e >= 0, e, 0))
+                            reps.append((ready_r, enc_v,
+                                         (_rep, lidx, pidx)))
+                        lqs_v[:] = jnp.broadcast_to(q_r, (BS, BL))
                     elif VEC:
                         q_r = lqs_v[:][:, :1]             # (8, 1)
                         lq = leafqv[:]
@@ -899,7 +979,24 @@ def _kernel_v5(rows_ref, ox, oy, oz, dx, dy, dz, t0r, ignr, *refs,
                                       for g in range(G)]
                             reps.append((readys, encs, fetch_rows(rowidx)))
                     for readys, encs, nodes in reps:
-                        if VEC:
+                        pidx = None
+                        if DMA:
+                            # wait the rep's G copies (started above, in
+                            # flight since) and read the landed rows; the
+                            # enc sign conventions are inverted vs the
+                            # resident queue (tri < 0, prim >= 0)
+                            rep_i, lidx, pidx = nodes
+                            rows_l = []
+                            for g in range(G):
+                                pltpu.make_async_copy(
+                                    leaf_ref.at[lidx[g]],
+                                    slots.at[rep_i * G + g],
+                                    sems.at[rep_i * G + g]).wait()
+                                rows_l.append(slots[rep_i * G + g])
+                            nodes = jnp.stack(rows_l)
+                            tri_rows = readys & (encs < 0)    # (8, 1)
+                            prim_rows = readys & (encs >= 0)
+                        elif VEC:
                             tri_rows = readys & (encs >= 0)   # (8, 1)
                             prim_rows = readys & (encs < 0)
                         else:
@@ -969,7 +1066,13 @@ def _kernel_v5(rows_ref, ox, oy, oz, dx, dy, dz, t0r, ignr, *refs,
                         # for the common all-tri rep (round 4f)
                         @pl.when(jnp.any(prim_rows))
                         def _prims(nodes=nodes, prim_rows=prim_rows,
-                                   act=act, t_l=t_l):
+                                   act=act, t_l=t_l, pidx=pidx):
+                            if DMA:
+                                # prim rows live in the RESIDENT table (the
+                                # DMA'd row above is leaf garbage for prim
+                                # entries); fetch inside the guard so the
+                                # common all-tri rep skips it
+                                nodes = fetch_rows(pidx)
                             prim_id = coli(nodes, 1)
                             ptype = coli(nodes, 2)
                             m = [col(nodes, 4 + i) for i in range(12)]
@@ -1037,7 +1140,12 @@ def _kernel_v5(rows_ref, ox, oy, oz, dx, dy, dz, t0r, ignr, *refs,
 
         root_kind = rows_ref[0][0].astype(jnp.int32)
         root_is_int = root_kind == KIND_INTERNAL
-        root_enc = jnp.where(root_kind == KIND_TRIS, 0, -1)
+        if DMA:
+            # split tables have an internal/prim root (split_for_dma
+            # asserts); a prim root queues as res index 0 (enc >= 0)
+            root_enc = jnp.int32(0)
+        else:
+            root_enc = jnp.where(root_kind == KIND_TRIS, 0, -1)
         if VEC:
             stackv[:] = jnp.zeros((BS, VEC_STACK), jnp.int32)
             leafqv[:] = jnp.zeros((BS, BL), jnp.int32) + root_enc
@@ -1279,22 +1387,30 @@ def packet_traverse(rows, o: Vec3, d: Vec3, t0, ignored_prim,
     # Kept behind the flag as a recorded dead-end; default OFF.
     pair = vec and lpi % 2 == 0 and int(rows.shape[0]) <= 32000 \
         and _os.environ.get("BUAS_V5_PAIR", "0") == "1"
+    # v7 = grouped leaf-DMA walks (v6's vectorized grouped form over the
+    # v4 split tables).  Same routing shape as v5: grouped non-occlusion
+    # waves only; v4's block-lockstep walk keeps coherent/occlusion waves.
+    v7_env = _os.environ.get("BUAS_PACKET_V7", "auto")
+    v7 = (v4_tables is not None and groups == 8
+          and (v7_env == "1" or (v7_env == "auto" and not occlusion)))
     return _packet_traverse(rows, v4_tables, o, d, t0, ignored_prim,
                             occlusion=occlusion, interpret=interpret, v2=v2,
                             v5=v5, groups=groups if v5 else 1,
-                            lpi=lpi if v5 else 1, unroll=unroll if v5 else 1,
-                            v4_lpi=v4_lpi, vec=vec, pair=pair)
+                            lpi=lpi if (v5 or v7) else 1,
+                            unroll=unroll if (v5 or v7) else 1,
+                            v4_lpi=v4_lpi, vec=vec, pair=pair, v7=v7)
 
 
 @functools.partial(jax.jit,
                    static_argnames=("occlusion", "interpret", "v2", "v5",
                                     "groups", "lpi", "unroll", "v4_lpi",
-                                    "vec", "pair"))
+                                    "vec", "pair", "v7"))
 def _packet_traverse(rows, v4_tables, o: Vec3, d: Vec3, t0, ignored_prim,
                      occlusion: bool = False, interpret: bool = False,
                      v2: bool = True, v5: bool = False, groups: int = 1,
                      lpi: int = 1, unroll: int = 1, v4_lpi: int = 2,
-                     vec: bool = False, pair: bool = False):
+                     vec: bool = False, pair: bool = False,
+                     v7: bool = False):
     """Jitted body of :func:`packet_traverse`.
 
     Returns (t, prim, tri, bv, bw, node_visits, tri_tests) like
@@ -1322,6 +1438,41 @@ def _packet_traverse(rows, v4_tables, o: Vec3, d: Vec3, t0, ignored_prim,
         jax.ShapeDtypeStruct((nb, BS, BL), dt)
         for dt in (jnp.float32, jnp.int32, jnp.int32, jnp.float32,
                    jnp.float32)) + (jax.ShapeDtypeStruct((1, 2), jnp.int32),)
+    if v4_tables is not None and v7:
+        res_rows, leaf_rows = v4_tables
+        grid_spec = pltpu.PrefetchScalarGridSpec(
+            num_scalar_prefetch=0,
+            grid=(nb,),
+            # resident internal tree + prims in VMEM; leaf rows in HBM,
+            # async-copied per pop into the per-(rep, group) slot buffers
+            in_specs=[pl.BlockSpec(memory_space=pltpu.VMEM),
+                      pl.BlockSpec(memory_space=pl.ANY)]
+            + [blk() for _ in range(8)],
+            out_specs=[blk() for _ in range(5)]
+            + [pl.BlockSpec(memory_space=pltpu.SMEM)],
+            scratch_shapes=[
+                pltpu.VMEM((BS, VEC_STACK), jnp.int32),  # vector stacks
+                pltpu.VMEM((BS, BL), jnp.int32),         # vector leaf queues
+                pltpu.VMEM((BS, BL), jnp.int32),         # sps (uniform rows)
+                pltpu.VMEM((BS, BL), jnp.int32),         # lqs (uniform rows)
+                pltpu.VMEM((BS, BL), jnp.int32),  # tri-test vector accum
+                pltpu.VMEM((lpi * 8, int(leaf_rows.shape[1])),
+                           jnp.float32),                 # leaf-row slots
+                pltpu.SemaphoreType.DMA((lpi * 8,)),
+            ],
+        )
+        outs = pl.pallas_call(
+            functools.partial(_kernel_v7, occlusion=occlusion,
+                              LPI=lpi, UNROLL=unroll),
+            out_shape=out_shapes,
+            grid_spec=grid_spec,
+            interpret=interpret,
+            compiler_params=pltpu.CompilerParams(
+                vmem_limit_bytes=48 * 1024 * 1024),
+        )(res_rows, leaf_rows, *args)
+        t, prim, tri, bv, bw = (x.reshape(-1)[:n] for x in outs[:5])
+        return t, prim, tri, bv, bw, outs[5][0, 0], outs[5][0, 1]
+
     if v4_tables is not None:
         res_rows, leaf_rows = v4_tables
         grid_spec = pltpu.PrefetchScalarGridSpec(
@@ -1796,6 +1947,17 @@ def traverse_dispatch(rows, scene_lo, scene_hi, o: Vec3, d: Vec3, t0,
         idx = sum((nl > m * BLOCK).astype(jnp.int32) for m in rungs)
         return jax.lax.switch(idx, branches, args)
 
+    if occlusion and _os.environ.get("BUAS_SHADOW_NATURAL", "0") == "1":
+        # Occlusion walks in NATURAL order, zero data movement.  Rationale
+        # (round 4m): the NO_SHADOW attribution put the 8 shadow waves at
+        # ~117 ms of the 406 ms frame while their KERNELS are ~free
+        # (prof43: 29.4 ms raw ~= the dispatch overhead; per-block
+        # occluder unions ~50-71, only 4% blocked, prof34) — the cost is
+        # the ladder's argsort + row gather + scatters per wave.  Shadow
+        # origins are already block-coherent in every wave (pixel tiles at
+        # bounce 0/1, integrator-held m6d order in the stages), so the
+        # compaction buys little union tightening; skip it entirely.
+        return natural(args)
     if _PHASE_HINT or _os.environ.get("BUAS_FORCE_COMPACT", "") == "1":
         return incoherent(args)
     return jax.lax.cond(coh > 0.9, natural, incoherent, args)

@@ -141,6 +141,15 @@ def split_for_dma(rows: np.ndarray):
     enc = np.where(is_leaf[ch], -(leaf_ids[ch] + 1),
                    np.where(is_empty[ch], 0, res_ids[ch]))
     res_rows[res_ids[internal], 50:50 + WIDE] = enc.astype(np.float32)
+    # lane 58: the 8 child KIND codes packed 2 bits each (16-bit value,
+    # exact as float).  The grouped leaf-DMA kernel (pallas_packet v7)
+    # routes children at PUSH time like v5, but lanes 50..57 hold the
+    # encoded links here — the kinds ride one packed lane instead.
+    kindbits = np.zeros(len(internal), np.int64)
+    ck = kind[ch]
+    for c in range(WIDE):
+        kindbits |= ck[:, c].astype(np.int64) << (2 * c)
+    res_rows[res_ids[internal], 58] = kindbits.astype(np.float32)
     return res_rows, leaf_rows
 
 

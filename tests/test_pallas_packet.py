@@ -293,3 +293,61 @@ def test_v6_vector_state_parity(scene, monkeypatch, lpi, unroll, pair, case,
                                    rtol=1e-5, atol=1e-5)
         np.testing.assert_array_equal(np.asarray(out[1]), np.asarray(ref[1]))
         np.testing.assert_array_equal(np.asarray(out[2]), np.asarray(ref[2]))
+
+
+@pytest.mark.parametrize("occlusion", [False, True])
+@pytest.mark.parametrize("lpi,unroll", [(1, 1), (4, 1), (8, 2)])
+@pytest.mark.parametrize("case", CASES[1:])  # incoherent +/- dead lanes
+def test_v7_grouped_leaf_dma_parity(scene, monkeypatch, lpi, unroll, case,
+                                    occlusion):
+    """v7 = the v6 vectorized grouped walk over the v4 SPLIT tables:
+    resident internal tree + prims, triangle-leaf rows async-copied from
+    HBM per queue pop.  Queue entries are the signed enc links (tri < 0,
+    prim >= 0 — inverted vs the resident kernels) and child kinds come
+    from the lane-58 packed bitfield, so this exercises every structural
+    delta against the same XLA oracle."""
+    monkeypatch.setenv("BUAS_V4", "1")
+    monkeypatch.setenv("BUAS_PACKET_V7", "1")
+    monkeypatch.setenv("BUAS_V5_LPI", str(lpi))
+    monkeypatch.setenv("BUAS_V5_UNROLL", str(unroll))
+    ps = scene.pack()
+    assert ps.v4_res is not None and ps.v4_leaf is not None
+    n = 4096
+    o, d, t0, ign = _rays(scene, n, seed=53, **case)
+    if occlusion:
+        t0 = jnp.where(t0 > 0, 9.0, t0)
+    ref = tw._traverse(ps, o, d, t0, ign, occlusion=occlusion)
+    out = pp.packet_traverse(ps.wide_rows, o, d, t0, ign,
+                             occlusion=occlusion, interpret=True,
+                             v4_tables=(ps.v4_res, ps.v4_leaf), groups=8)
+    if occlusion:
+        np.testing.assert_array_equal(np.asarray(out[1]) >= 0,
+                                      np.asarray(ref[1]) >= 0)
+    else:
+        np.testing.assert_allclose(np.asarray(out[0]), np.asarray(ref[0]),
+                                   rtol=1e-5, atol=1e-5)
+        np.testing.assert_array_equal(np.asarray(out[1]), np.asarray(ref[1]))
+        np.testing.assert_array_equal(np.asarray(out[2]), np.asarray(ref[2]))
+        mesh = np.asarray(ref[2]) >= 0
+        np.testing.assert_allclose(np.asarray(out[3])[mesh],
+                                   np.asarray(ref[3])[mesh],
+                                   rtol=1e-4, atol=1e-5)
+        np.testing.assert_allclose(np.asarray(out[4])[mesh],
+                                   np.asarray(ref[4])[mesh],
+                                   rtol=1e-4, atol=1e-5)
+
+
+def test_shadow_natural_dispatch_parity(scene, monkeypatch):
+    """BUAS_SHADOW_NATURAL=1 routes occlusion waves through the natural
+    (zero-movement) branch; blockedness must match the XLA oracle."""
+    monkeypatch.setenv("BUAS_SHADOW_NATURAL", "1")
+    ps = scene.pack()
+    n = 4096
+    o, d, t0, ign = _rays(scene, n, seed=61, incoherent=True, dead_frac=0.4)
+    t0 = jnp.where(t0 > 0, 7.0, t0)
+    ref = tw._traverse(ps, o, d, t0, ign, occlusion=True)
+    out = pp.traverse_dispatch(ps.wide_rows, ps.scene_lo, ps.scene_hi,
+                               o, d, t0, ign, occlusion=True,
+                               interpret=True)
+    np.testing.assert_array_equal(np.asarray(out[1]) >= 0,
+                                  np.asarray(ref[1]) >= 0)
