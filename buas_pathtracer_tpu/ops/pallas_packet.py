@@ -1367,8 +1367,14 @@ def packet_traverse(rows, o: Vec3, d: Vec3, t0, ignored_prim,
         # incoherent closest-hit wave 1.95x (123.2 ms vs v2's 240.5), but
         # LOSES natural-order coherent walks (32.3 vs 22.9 ms primary) and
         # compacted occlusion (39.1 vs 26.6 ms raw) — route v5 only to
-        # grouped non-occlusion waves, v2 everywhere else.
-        v5 = groups == 8 and not occlusion and v4_tables is None
+        # grouped non-occlusion waves, v2 everywhere else.  Exception:
+        # BUAS_SHADOW_NATURAL=2 opts NATURAL-order occlusion waves into the
+        # grouped kernel (dispatch passes groups=8 there) — light-mixed
+        # natural blocks pay the union of both occluder cones under
+        # lockstep, which is exactly what independent per-group walks cut.
+        v5 = groups == 8 and v4_tables is None and (
+            not occlusion
+            or _os.environ.get("BUAS_SHADOW_NATURAL", "0") == "2")
     else:
         v5 = v5_env == "1" and v4_tables is None
     lpi = int(_os.environ.get("BUAS_V5_LPI", "8"))
@@ -1856,12 +1862,12 @@ def traverse_dispatch(rows, scene_lo, scene_hi, o: Vec3, d: Vec3, t0,
     args = (o.x, o.y, o.z, d.x, d.y, d.z, t0,
             ignored_prim.astype(jnp.float32))
 
-    def natural(args):
+    def natural(args, groups: int = 1):
         ox, oy, oz, dx, dy, dz, t0, ign = args
         return packet_traverse(rows, Vec3(ox, oy, oz), Vec3(dx, dy, dz),
                                t0, _i32e(ign), occlusion=occlusion,
                                interpret=interpret, v4_tables=v4_tables,
-                               groups=1)
+                               groups=groups)
 
     def morton(args, m, live_mask):
         """Morton-compact the masked-live rays to the first m blocks, walk,
@@ -1947,7 +1953,8 @@ def traverse_dispatch(rows, scene_lo, scene_hi, o: Vec3, d: Vec3, t0,
         idx = sum((nl > m * BLOCK).astype(jnp.int32) for m in rungs)
         return jax.lax.switch(idx, branches, args)
 
-    if occlusion and _os.environ.get("BUAS_SHADOW_NATURAL", "0") == "1":
+    shadow_natural = _os.environ.get("BUAS_SHADOW_NATURAL", "0")
+    if occlusion and shadow_natural in ("1", "2"):
         # Occlusion walks in NATURAL order, zero data movement.  Rationale
         # (round 4m): the NO_SHADOW attribution put the 8 shadow waves at
         # ~117 ms of the 406 ms frame while their KERNELS are ~free
@@ -1957,7 +1964,11 @@ def traverse_dispatch(rows, scene_lo, scene_hi, o: Vec3, d: Vec3, t0,
         # origins are already block-coherent in every wave (pixel tiles at
         # bounce 0/1, integrator-held m6d order in the stages), so the
         # compaction buys little union tightening; skip it entirely.
-        return natural(args)
+        # "1" = block-lockstep kernel (measured 447 vs 406 ms — the
+        # light-mixed blocks pay both occluder cones); "2" = grouped
+        # independent walks (16-lane groups bound each union much tighter
+        # and exit per group).
+        return natural(args, groups=8 if shadow_natural == "2" else 1)
     if _PHASE_HINT or _os.environ.get("BUAS_FORCE_COMPACT", "") == "1":
         return incoherent(args)
     return jax.lax.cond(coh > 0.9, natural, incoherent, args)

@@ -228,6 +228,28 @@ def test_dispatch_natural_branch_parity(scene):
     np.testing.assert_array_equal(np.asarray(out[1]), np.asarray(ref[1]))
 
 
+@pytest.mark.parametrize("mode", ["1", "2"])
+def test_dispatch_shadow_natural_parity(scene, monkeypatch, mode):
+    """BUAS_SHADOW_NATURAL routes occlusion waves in NATURAL order (zero
+    compaction movement) — "1" through the block-lockstep kernel, "2"
+    through the grouped v6 kernel (independent 16-lane walks with
+    per-group early exit).  Both must satisfy the occlusion contract
+    against the XLA phased oracle.  COMPACT_BLOCKS is shrunk so the
+    batch crosses the small-wave threshold and reaches the knob."""
+    monkeypatch.setattr(pp, "COMPACT_BLOCKS", 2)
+    monkeypatch.setenv("BUAS_SHADOW_NATURAL", mode)
+    ps = scene.pack()
+    n = 4096
+    o, d, t0, ign = _rays(scene, n, seed=31, incoherent=True, dead_frac=0.4)
+    t0 = jnp.where(t0 > 0, 6.0, t0)
+    ref = tw._traverse(ps, o, d, t0, ign, occlusion=True)
+    out = pp.traverse_dispatch(ps.wide_rows, ps.scene_lo, ps.scene_hi,
+                               o, d, t0, ign, occlusion=True,
+                               interpret=True)
+    np.testing.assert_array_equal(np.asarray(out[1]) >= 0,
+                                  np.asarray(ref[1]) >= 0)
+
+
 @pytest.mark.parametrize("occlusion", [False, True])
 @pytest.mark.parametrize("groups,lpi", [(1, 2), (8, 1), (8, 4)])
 @pytest.mark.parametrize("case", CASES[1:])  # incoherent +/- dead lanes
