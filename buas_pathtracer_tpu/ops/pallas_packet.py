@@ -1345,7 +1345,8 @@ def _kernel_v4(res_ref, leaf_ref, ox, oy, oz, dx, dy, dz, t0r, ignr,
 
 def packet_traverse(rows, o: Vec3, d: Vec3, t0, ignored_prim,
                     occlusion: bool = False, interpret: bool = False,
-                    v4_tables=None, groups: int = 1):
+                    v4_tables=None, groups: int = 1,
+                    shadow_grouped: bool = False):
     """Block-coherent traversal over the whole flat ray batch.
 
     The kernel version is resolved from ``BUAS_PACKET_V1``/``BUAS_PACKET_V5``
@@ -1366,15 +1367,16 @@ def packet_traverse(rows, o: Vec3, d: Vec3, t0, ignored_prim,
         # docs/PERFORMANCE.md round 4b): v5 G=8 wins the compacted
         # incoherent closest-hit wave 1.95x (123.2 ms vs v2's 240.5), but
         # LOSES natural-order coherent walks (32.3 vs 22.9 ms primary) and
-        # compacted occlusion (39.1 vs 26.6 ms raw) — route v5 only to
-        # grouped non-occlusion waves, v2 everywhere else.  Exception:
-        # BUAS_SHADOW_NATURAL=2 opts NATURAL-order occlusion waves into the
-        # grouped kernel (dispatch passes groups=8 there) — light-mixed
-        # natural blocks pay the union of both occluder cones under
-        # lockstep, which is exactly what independent per-group walks cut.
+        # LADDER-compacted occlusion (39.1 vs 26.6 ms raw, light-major
+        # order) — route v5 only to grouped non-occlusion waves there.
+        # Exception: NATURAL-order occlusion waves (shadow_grouped, the
+        # dispatch default for resident scenes since round 4o) DO take the
+        # grouped kernel — light-mixed natural blocks pay the union of
+        # both occluder cones under lockstep, which is exactly what
+        # independent per-group walks cut (in-frame 406.5 -> 389.5 ms).
         v5 = groups == 8 and v4_tables is None and (
-            not occlusion
-            or _os.environ.get("BUAS_SHADOW_NATURAL", "0") == "2")
+            not occlusion or shadow_grouped
+            or _os.environ.get("BUAS_SHADOW_NATURAL", "") == "2")
     else:
         v5 = v5_env == "1" and v4_tables is None
     lpi = int(_os.environ.get("BUAS_V5_LPI", "8"))
@@ -1394,11 +1396,12 @@ def packet_traverse(rows, o: Vec3, d: Vec3, t0, ignored_prim,
     pair = vec and lpi % 2 == 0 and int(rows.shape[0]) <= 32000 \
         and _os.environ.get("BUAS_V5_PAIR", "0") == "1"
     # v7 = grouped leaf-DMA walks (v6's vectorized grouped form over the
-    # v4 split tables).  Same routing shape as v5: grouped non-occlusion
-    # waves only; v4's block-lockstep walk keeps coherent/occlusion waves.
+    # v4 split tables) for ALL grouped waves, occlusion included: the
+    # real stress shadow wave measured v4 108.6 -> v7 55.8 ms (prof48)
+    # and the in-frame stress capture 1220.9 -> 1161.7 ms (round 4o).
+    # v4's block-lockstep walk keeps coherent/natural-order waves.
     v7_env = _os.environ.get("BUAS_PACKET_V7", "auto")
-    v7 = (v4_tables is not None and groups == 8
-          and (v7_env == "1" or (v7_env == "auto" and not occlusion)))
+    v7 = v4_tables is not None and groups == 8 and v7_env in ("1", "auto")
     return _packet_traverse(rows, v4_tables, o, d, t0, ignored_prim,
                             occlusion=occlusion, interpret=interpret, v2=v2,
                             v5=v5, groups=groups if v5 else 1,
@@ -1867,7 +1870,8 @@ def traverse_dispatch(rows, scene_lo, scene_hi, o: Vec3, d: Vec3, t0,
         return packet_traverse(rows, Vec3(ox, oy, oz), Vec3(dx, dy, dz),
                                t0, _i32e(ign), occlusion=occlusion,
                                interpret=interpret, v4_tables=v4_tables,
-                               groups=groups)
+                               groups=groups,
+                               shadow_grouped=occlusion and groups == 8)
 
     def morton(args, m, live_mask):
         """Morton-compact the masked-live rays to the first m blocks, walk,
@@ -1953,21 +1957,23 @@ def traverse_dispatch(rows, scene_lo, scene_hi, o: Vec3, d: Vec3, t0,
         idx = sum((nl > m * BLOCK).astype(jnp.int32) for m in rungs)
         return jax.lax.switch(idx, branches, args)
 
-    shadow_natural = _os.environ.get("BUAS_SHADOW_NATURAL", "0")
+    # Occlusion default (round 4o): resident scenes run shadow waves in
+    # NATURAL order through the GROUPED kernel — zero compaction movement.
+    # Rationale: the round-4m NO_SHADOW attribution put the 8 shadow waves
+    # at ~117 ms of the 406 ms frame while their KERNELS are ~free; the
+    # cost is the ladder's argsort + row gather + scatter per wave.  Shadow
+    # origins are already block-coherent in every wave (pixel tiles at
+    # bounce 0/1, integrator-held m6d order in the stages).  Mode "1"
+    # (block-lockstep natural) measured a DEAD-END (447 vs 406 ms — the
+    # light-mixed blocks pay both occluder cones in lockstep); mode "2"
+    # (grouped: 16-lane groups bound each union tighter and exit per
+    # group) measured 406.5 -> 389.5 ms in-frame and is the default.
+    # Split-table scenes keep the ladder ("0"): their occlusion waves run
+    # the grouped v7 leaf-DMA kernel best light-major-compacted (round 4o
+    # stress legs; natural-order v7 is unmeasured).
+    shadow_natural = _os.environ.get(
+        "BUAS_SHADOW_NATURAL", "2" if v4_tables is None else "0")
     if occlusion and shadow_natural in ("1", "2"):
-        # Occlusion walks in NATURAL order, zero data movement.  Rationale
-        # (round 4m): the NO_SHADOW attribution put the 8 shadow waves at
-        # ~117 ms of the 406 ms frame while their KERNELS are ~free
-        # (prof43: 29.4 ms raw ~= the dispatch overhead; per-block
-        # occluder unions ~50-71, only 4% blocked, prof34) — the cost is
-        # the ladder's argsort + row gather + scatters per wave.  Shadow
-        # origins are already block-coherent in every wave (pixel tiles at
-        # bounce 0/1, integrator-held m6d order in the stages), so the
-        # compaction buys little union tightening; skip it entirely.
-        # "1" = block-lockstep kernel (measured 447 vs 406 ms — the
-        # light-mixed blocks pay both occluder cones); "2" = grouped
-        # independent walks (16-lane groups bound each union much tighter
-        # and exit per group).
         return natural(args, groups=8 if shadow_natural == "2" else 1)
     if _PHASE_HINT or _os.environ.get("BUAS_FORCE_COMPACT", "") == "1":
         return incoherent(args)

@@ -228,14 +228,16 @@ def test_dispatch_natural_branch_parity(scene):
     np.testing.assert_array_equal(np.asarray(out[1]), np.asarray(ref[1]))
 
 
-@pytest.mark.parametrize("mode", ["1", "2"])
+@pytest.mark.parametrize("mode", ["0", "1", "2"])
 def test_dispatch_shadow_natural_parity(scene, monkeypatch, mode):
-    """BUAS_SHADOW_NATURAL routes occlusion waves in NATURAL order (zero
-    compaction movement) — "1" through the block-lockstep kernel, "2"
+    """BUAS_SHADOW_NATURAL routes occlusion waves: "0" = compaction
+    ladder (the split-table default), "1" = natural order through the
+    block-lockstep kernel (recorded dead-end), "2" = natural order
     through the grouped v6 kernel (independent 16-lane walks with
-    per-group early exit).  Both must satisfy the occlusion contract
-    against the XLA phased oracle.  COMPACT_BLOCKS is shrunk so the
-    batch crosses the small-wave threshold and reaches the knob."""
+    per-group early exit; the resident-scene default).  All must satisfy
+    the occlusion contract against the XLA phased oracle.  COMPACT_BLOCKS
+    is shrunk so the batch crosses the small-wave threshold and reaches
+    the knob."""
     monkeypatch.setattr(pp, "COMPACT_BLOCKS", 2)
     monkeypatch.setenv("BUAS_SHADOW_NATURAL", mode)
     ps = scene.pack()
