@@ -1967,12 +1967,10 @@ def traverse_dispatch(rows, scene_lo, scene_hi, o: Vec3, d: Vec3, t0,
     # (block-lockstep natural) measured a DEAD-END (447 vs 406 ms — the
     # light-mixed blocks pay both occluder cones in lockstep); mode "2"
     # (grouped: 16-lane groups bound each union tighter and exit per
-    # group) measured 406.5 -> 389.5 ms in-frame and is the default.
-    # Split-table scenes keep the ladder ("0"): their occlusion waves run
-    # the grouped v7 leaf-DMA kernel best light-major-compacted (round 4o
-    # stress legs; natural-order v7 is unmeasured).
-    shadow_natural = _os.environ.get(
-        "BUAS_SHADOW_NATURAL", "2" if v4_tables is None else "0")
+    # group) measured 406.5 -> 389.5 ms in-frame on the resident bench
+    # scene and 1161.7 -> 866.3 ms on the 1080p stress scene (natural
+    # grouped walks route to v7 on split tables) — the default for both.
+    shadow_natural = _os.environ.get("BUAS_SHADOW_NATURAL", "2")
     if occlusion and shadow_natural in ("1", "2"):
         return natural(args, groups=8 if shadow_natural == "2" else 1)
     if _PHASE_HINT or _os.environ.get("BUAS_FORCE_COMPACT", "") == "1":
