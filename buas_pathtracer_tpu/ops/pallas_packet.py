@@ -1898,11 +1898,18 @@ def traverse_dispatch(rows, scene_lo, scene_hi, o: Vec3, d: Vec3, t0,
             eye8, blk, (((1,), (1,)), ((), ())),
             precision=jax.lax.Precision.HIGHEST,
             preferred_element_type=jnp.float32)  # (8, m*BLOCK)
+        # BUAS_OCC_LADDER_GROUPED=1 routes ladder-compacted occlusion
+        # waves to the GROUPED kernel too.  Motivation (tools/prof50, on
+        # chip, real bounce-0 NEE wave): light-SORTED grouped walks run
+        # 18.4 ms vs 27.7 mixed — the ladder's light-major key plus
+        # live-prefix compaction should stack both wins.
         out = packet_traverse(rows, Vec3(bT[0], bT[1], bT[2]),
                               Vec3(bT[3], bT[4], bT[5]), bT[6],
                               _i32e(bT[7]), occlusion=occlusion,
                               interpret=interpret, v4_tables=v4_tables,
-                              groups=8)
+                              groups=8,
+                              shadow_grouped=occlusion and _os.environ.get(
+                                  "BUAS_OCC_LADDER_GROUPED", "0") == "1")
 
         def back(col, default):
             return default.at[ids].set(col, unique_indices=True)

@@ -16,6 +16,13 @@ if "xla_force_host_platform_device_count" not in flags:
     ).strip()
 os.environ.setdefault("JAX_ENABLE_X64", "0")
 
+# The production default (BUAS_SHADOW_NATURAL=2) routes occlusion waves
+# through the grouped kernel, which is very slow under interpret mode on
+# CPU (measured: fast suite 9:44 -> 28:41).  Tests default to the ladder
+# route; test_dispatch_shadow_natural_parity monkeypatches all three
+# modes explicitly, so coverage of the natural routes is unchanged.
+os.environ.setdefault("BUAS_SHADOW_NATURAL", "0")
+
 import jax  # noqa: E402
 
 jax.config.update("jax_platforms", "cpu")

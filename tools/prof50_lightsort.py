@@ -27,6 +27,8 @@ import jax
 CPU = os.environ.get("PROF50_CPU", "0") == "1"
 if CPU:
     jax.config.update("jax_platforms", "cpu")
+else:
+    jax.config.update("jax_compilation_cache_dir", "/root/repo/.jax_cache")
 
 import jax.numpy as jnp
 import numpy as np
