@@ -1909,7 +1909,7 @@ def traverse_dispatch(rows, scene_lo, scene_hi, o: Vec3, d: Vec3, t0,
                               interpret=interpret, v4_tables=v4_tables,
                               groups=8,
                               shadow_grouped=occlusion and _os.environ.get(
-                                  "BUAS_OCC_LADDER_GROUPED", "0") == "1")
+                                  "BUAS_OCC_LADDER_GROUPED", "1") == "1")
 
         def back(col, default):
             return default.at[ids].set(col, unique_indices=True)
@@ -1977,7 +1977,16 @@ def traverse_dispatch(rows, scene_lo, scene_hi, o: Vec3, d: Vec3, t0,
     # group) measured 406.5 -> 389.5 ms in-frame on the resident bench
     # scene and 1161.7 -> 866.3 ms on the 1080p stress scene (natural
     # grouped walks route to v7 on split tables) — the default for both.
-    shadow_natural = _os.environ.get("BUAS_SHADOW_NATURAL", "2")
+    # Round 4p amends the RESIDENT-scene default to "0" + grouped ladder
+    # (BUAS_OCC_LADDER_GROUPED): prof50 measured light-SORTED grouped
+    # walks 1.5x over light-mixed natural ones on the real bounce-0 NEE
+    # wave, and the in-frame A/B landed 386.0 ms / 10.07 Mrays/s vs the
+    # 4o natural-grouped default's 389.5-397.8 — the ladder's light-major
+    # key + live-prefix compaction beat zero-movement mixed walks.
+    # Split-table scenes KEEP natural grouped ("2"): there the ladder
+    # measured 1161.7 vs natural's 866.3 ms (stress 1080p, round 4o).
+    shadow_natural = _os.environ.get(
+        "BUAS_SHADOW_NATURAL", "2" if v4_tables is not None else "0")
     if occlusion and shadow_natural in ("1", "2"):
         return natural(args, groups=8 if shadow_natural == "2" else 1)
     if _PHASE_HINT or _os.environ.get("BUAS_FORCE_COMPACT", "") == "1":

@@ -22,6 +22,7 @@ os.environ.setdefault("JAX_ENABLE_X64", "0")
 # route; test_dispatch_shadow_natural_parity monkeypatches all three
 # modes explicitly, so coverage of the natural routes is unchanged.
 os.environ.setdefault("BUAS_SHADOW_NATURAL", "0")
+os.environ.setdefault("BUAS_OCC_LADDER_GROUPED", "0")
 
 import jax  # noqa: E402
 
