@@ -1369,14 +1369,16 @@ def packet_traverse(rows, o: Vec3, d: Vec3, t0, ignored_prim,
         # LOSES natural-order coherent walks (32.3 vs 22.9 ms primary) and
         # LADDER-compacted occlusion (39.1 vs 26.6 ms raw, light-major
         # order) — route v5 only to grouped non-occlusion waves there.
-        # Exception: NATURAL-order occlusion waves (shadow_grouped, the
-        # dispatch default for resident scenes since round 4o) DO take the
-        # grouped kernel — light-mixed natural blocks pay the union of
-        # both occluder cones under lockstep, which is exactly what
-        # independent per-group walks cut (in-frame 406.5 -> 389.5 ms).
+        # Exception: occlusion waves whose DISPATCHER asked for grouped
+        # walks (shadow_grouped — natural-order since round 4o, ladder-
+        # compacted since 4p) DO take the grouped kernel: light-mixed
+        # blocks pay the union of both occluder cones under lockstep,
+        # which is exactly what independent per-group walks cut
+        # (in-frame 406.5 -> 389.5 ms).  The decision is owned entirely
+        # by traverse_dispatch's shadow_grouped argument — no second env
+        # read here (two sources of truth drift).
         v5 = groups == 8 and v4_tables is None and (
-            not occlusion or shadow_grouped
-            or _os.environ.get("BUAS_SHADOW_NATURAL", "") == "2")
+            not occlusion or shadow_grouped)
     else:
         v5 = v5_env == "1" and v4_tables is None
     lpi = int(_os.environ.get("BUAS_V5_LPI", "8"))
@@ -1989,8 +1991,16 @@ def traverse_dispatch(rows, scene_lo, scene_hi, o: Vec3, d: Vec3, t0,
         "BUAS_SHADOW_NATURAL", "2" if v4_tables is not None else "0")
     if occlusion and shadow_natural in ("1", "2"):
         return natural(args, groups=8 if shadow_natural == "2" else 1)
+    # Side paths under the ladder default ("0"): phase-hinted occlusion
+    # waves take the full-width Morton walk (executable-budget mode) and
+    # coherent (coh>0.9) occlusion waves fall through to natural — both
+    # now grouped (groups=8) so the per-group early-exit win is kept on
+    # every occlusion route, not only the ladder rungs (ADVICE r4).
     if _PHASE_HINT or _os.environ.get("BUAS_FORCE_COMPACT", "") == "1":
         return incoherent(args)
+    if occlusion:
+        return jax.lax.cond(coh > 0.9, lambda a: natural(a, groups=8),
+                            incoherent, args)
     return jax.lax.cond(coh > 0.9, natural, incoherent, args)
 
 

@@ -262,6 +262,10 @@ def test_dispatch_shadow_natural_parity(scene, monkeypatch, mode):
     the knob."""
     monkeypatch.setattr(pp, "COMPACT_BLOCKS", 2)
     monkeypatch.setenv("BUAS_SHADOW_NATURAL", mode)
+    # mode "0" must exercise the LOCKSTEP ladder here regardless of the
+    # host environment; the grouped-ladder route has its own pinned test
+    # above (ADVICE r4: don't depend on conftest's setdefault).
+    monkeypatch.setenv("BUAS_OCC_LADDER_GROUPED", "0")
     ps = scene.pack()
     n = 4096
     o, d, t0, ign = _rays(scene, n, seed=31, incoherent=True, dead_frac=0.4)

@@ -28,7 +28,10 @@ CPU = os.environ.get("PROF50_CPU", "0") == "1"
 if CPU:
     jax.config.update("jax_platforms", "cpu")
 else:
-    jax.config.update("jax_compilation_cache_dir", "/root/repo/.jax_cache")
+    _repo = os.path.dirname(os.path.dirname(os.path.abspath(__file__)))
+    jax.config.update("jax_compilation_cache_dir",
+                      os.environ.get("BUAS_JAX_CACHE",
+                                     os.path.join(_repo, ".jax_cache")))
 
 import jax.numpy as jnp
 import numpy as np
