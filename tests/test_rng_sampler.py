@@ -114,8 +114,72 @@ def test_blue_noise_error_spectrum_is_high_frequency():
     lf_blue = low_freq_fraction(err_image(sampler.Strategy.BLUE_NOISE))
     lf_white = low_freq_fraction(err_image(sampler.Strategy.UNIFORM))
     # white noise: energy fraction ~ area fraction (~5%); blue noise pushes
-    # nearly everything out of the low-frequency disk
-    assert lf_blue < 0.5 * lf_white, (lf_blue, lf_white)
+    # nearly everything out of the low-frequency disk.  Measured ratio is
+    # ~0.08 (2026-08-20); the bound carries a 2.5x margin while staying
+    # 5x stronger than the round-4 <0.5 acceptance (verdict item 6).
+    assert lf_blue < 0.2 * lf_white, (lf_blue, lf_white)
+
+
+def test_blue_noise_error_spectrum_past_index_256():
+    """Past sample index 256 the REFERENCE sampler gives up (falls back to
+    stratified white noise for index > 256, samplers.cpp:101-102).  The
+    substitute's Owen-Sobol' base is full-u32, so the screen-space error
+    must KEEP its blue-noise spectrum at high accumulation counts —
+    measured ratio ~0.078 at indices 300..303 (2026-08-20)."""
+    size, spp, base = 64, 4, 300
+    ys, xs = np.meshgrid(np.arange(size), np.arange(size), indexing="ij")
+    xs = jnp.asarray(xs.reshape(-1), jnp.uint32)
+    ys = jnp.asarray(ys.reshape(-1), jnp.uint32)
+
+    def err_image(strategy):
+        est = np.zeros(size * size)
+        for i in range(spp):
+            s = sampler.make_sampler(xs, ys, jnp.uint32(base + i),
+                                     strategy=strategy)
+            s, u, _ = sampler.sample_2d(
+                s, strategy, sampler.SampleDimension.AA, jnp.int32(0))
+            est += np.asarray(u)
+        return (est / spp - 0.5).reshape(size, size)
+
+    def low_freq_fraction(e):
+        p = np.abs(np.fft.fft2(e)) ** 2
+        p[0, 0] = 0.0
+        fy = np.minimum(np.arange(size), size - np.arange(size))
+        r = np.hypot(fy[:, None], fy[None, :])
+        return p[r <= size / 8].sum() / p.sum()
+
+    lf_blue = low_freq_fraction(err_image(sampler.Strategy.BLUE_NOISE))
+    lf_white = low_freq_fraction(err_image(sampler.Strategy.UNIFORM))
+    assert lf_blue < 0.2 * lf_white, (lf_blue, lf_white)
+    # and the draws stay valid uniforms
+    s = sampler.make_sampler(xs, ys, jnp.uint32(1000),
+                             strategy=sampler.Strategy.BLUE_NOISE)
+    _, u, v = sampler.sample_2d(s, sampler.Strategy.BLUE_NOISE,
+                                sampler.SampleDimension.AA, jnp.int32(0))
+    u, v = np.asarray(u), np.asarray(v)
+    assert u.min() >= 0 and u.max() < 1 and v.min() >= 0 and v.max() < 1
+    assert abs(u.mean() - 0.5) < 0.02 and u.std() > 0.2
+
+
+def test_blue_noise_mask_channels_decorrelated():
+    """The per-dimension shift-mask channels must be pairwise decorrelated
+    or the 'independent' sample dimensions (AA vs DOF vs NEE...) would
+    share screen-space error structure (verdict item 6: nothing previously
+    checked cross-dimension decorrelation).  Pearson |rho| over the 64x64
+    tile, every channel pair: measured max 0.062 (2026-08-20); bound 0.15.
+    Each channel must also itself be a valid threshold mask (uniform
+    marginals: every value distinct within the tile)."""
+    m = sampler._bn_masks()  # (T, T, K)
+    K = m.shape[2]
+    assert K == sampler.N_BN_CHANNELS
+    flat = m.reshape(-1, K)
+    c = np.corrcoef(flat.T)
+    off = np.abs(c - np.eye(K)).max()
+    assert off < 0.15, off
+    for k in range(K):
+        vals = np.sort(flat[:, k])
+        # a void-and-cluster rank mask hits each of T*T levels exactly once
+        assert len(np.unique(vals)) == flat.shape[0]
 
 
 def test_deep_bounce_is_white_noise_and_in_range():
