@@ -162,25 +162,38 @@ def closest_hit_main():
     def noop(r):
         return (r * 2.0).sum()
 
-    def one_wave(r):
+    def gen(r):
         # varying arg: per-call entropy defeats the terminal's cross-process
-        # result caching; per-iteration AA jitter varies the ray set so the
-        # loop body cannot be hoisted
+        # result caching of byte-identical dispatches
         z = jnp.zeros((n,)) + r * 1e-7
-        pr = cm.generate_rays(sc.camera, px, py, w, h, z + 0.5, z + 0.5,
-                              z, z, 0.0, 1.0, 6, 0.0, 0.0)
-        out = tw._traverse(ps, pr.o, pr.d, jnp.full((n,), tw.BIG_T),
+        return cm.generate_rays(sc.camera, px, py, w, h, z + 0.5, z + 0.5,
+                                z, z, 0.0, 1.0, 6, 0.0, 0.0)
+
+    def walk(o, d):
+        out = tw._traverse(ps, o, d, jnp.full((n,), tw.BIG_T),
                            jnp.full((n,), -1, jnp.int32), occlusion=False)
         return out[0].sum() + out[1].sum()
 
     @jax.jit
     def hit_sum(r):
-        return one_wave(r)
+        pr = gen(r)
+        return walk(pr.o, pr.d)
 
     @jax.jit
     def hit_sum_k(r):
+        # rays generated ONCE; each iteration jitters the origins along the
+        # ray by an iteration-dependent epsilon — the traversal input varies
+        # (so the loop body cannot be hoisted) at ~zero non-traversal cost,
+        # and the measured dispatch is K traversals, not K raygens
+        pr = gen(r)
+
+        from buas_pathtracer_tpu.core.vec import Vec3
+
         def step(i, acc):
-            return acc + one_wave(r + 0.1 * i.astype(jnp.float32))
+            e = 1e-5 * (i.astype(jnp.float32) + r)
+            o = Vec3(pr.o.x + pr.d.x * e, pr.o.y + pr.d.y * e,
+                     pr.o.z + pr.d.z * e)
+            return acc + walk(o, pr.d)
         return jax.lax.fori_loop(0, K, step, jnp.float32(0.0))
 
     seed = int(time.time() * 1000) % 1000

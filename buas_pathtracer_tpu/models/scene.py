@@ -198,7 +198,7 @@ class PackedScene(NamedTuple):
     # leaf rows stream from HBM.  None for scenes that fit (None pytree
     # leaves vanish, so the common case costs nothing).
     v4_res: Optional[jnp.ndarray] = None  # (Ri, 64) f32
-    v4_leaf: Optional[jnp.ndarray] = None  # (L, 64) f32
+    v4_leaf: Optional[jnp.ndarray] = None  # (L, 128) f32, merged dense rows
 
     @property
     def n_lights(self) -> int:

@@ -33,8 +33,8 @@ from jax.experimental.pallas import tpu as pltpu
 from ..core.vec import Vec3
 from ..models.scene import PRIM_SPHERE
 from . import intersect
-from .wide_bvh import (KIND_EMPTY, KIND_INTERNAL, KIND_PRIM, KIND_TRIS,
-                       WIDE, WIDE_LEAF)
+from .wide_bvh import (DMA_LEAF_K, KIND_EMPTY, KIND_INTERNAL, KIND_PRIM,
+                       KIND_TRIS, WIDE, WIDE_LEAF)
 
 BS, BL = 8, 128                 # ray block shape (sublanes, lanes)
 BLOCK = BS * BL                 # 1024 rays per grid step
@@ -344,14 +344,16 @@ def _child_keys_packed(row, o, inv_d, t, active):
 
 
 def _tri_updates(row, o, d, ign, active, t_l, prim_l, tri_l, bv_l, bw_l,
-                 occlusion: bool):
+                 occlusion: bool, leaf_k: int = WIDE_LEAF):
     """Apply one triangle-leaf row to the per-ray best-hit state; returns
-    the updated state + the leaf's triangle count.  Shared by v2/v4."""
+    the updated state + the leaf's triangle count.  Shared by v2/v4;
+    ``leaf_k`` is the row's static tri-slot count (WIDE_LEAF for unified
+    64-float rows, DMA_LEAF_K for the merged 128-float split-table rows)."""
     count = row[1].astype(jnp.int32)
     tri_base = row[2].astype(jnp.int32)
     inst_t = row[3].astype(jnp.int32)
     not_ign = inst_t != ign
-    for k in range(WIDE_LEAF):
+    for k in range(leaf_k):
         s = 8 + 9 * k
         ax_, ay_, az_ = row[s], row[s + 1], row[s + 2]
         e1x, e1y, e1z = row[s + 3], row[s + 4], row[s + 5]
@@ -1012,7 +1014,10 @@ def _kernel_v5(rows_ref, ox, oy, oz, dx, dy, dz, t0r, ignr, *refs,
                         tri_base = coli(nodes, 2)
                         inst_t = coli(nodes, 3)
                         not_ign = inst_t != ign
-                        for k in range(WIDE_LEAF):
+                        # split-table rows are merged DENSE (up to
+                        # DMA_LEAF_K tris, wide_bvh.split_for_dma);
+                        # resident rows keep the unified WIDE_LEAF layout
+                        for k in range(DMA_LEAF_K if DMA else WIDE_LEAF):
                             s = 8 + 9 * k
                             ax_, ay_, az_ = (col(nodes, s + 0),
                                              col(nodes, s + 1),
@@ -1254,7 +1259,7 @@ def _kernel_v4(res_ref, leaf_ref, ox, oy, oz, dx, dy, dz, t0r, ignr,
                         row = slots[slot]
                         t_l, prim_l, tri_l, bv_l, bw_l, count = _tri_updates(
                             row, o, d, ign, active, to[:], po[:], tro[:],
-                            bvo[:], bwo[:], occlusion)
+                            bvo[:], bwo[:], occlusion, leaf_k=DMA_LEAF_K)
                         if occlusion:
                             po[:] = prim_l
                         else:

@@ -401,3 +401,54 @@ def test_shadow_natural_dispatch_parity(scene, monkeypatch):
                                interpret=True)
     np.testing.assert_array_equal(np.asarray(out[1]) >= 0,
                                   np.asarray(ref[1]) >= 0)
+
+
+def test_split_for_dma_leaf_merge_structure(scene):
+    """Structural invariants of the dense DMA leaf merge
+    (wide_bvh.split_for_dma): merged rows carry the exact multiset of
+    leaf triangles with contiguous tri_base ranges and counts <= DMA_LEAF_K;
+    every internal row's enc links and packed kind bits agree; merged-away
+    child slots are EMPTY with a zero-volume AABB."""
+    from buas_pathtracer_tpu.ops import wide_bvh as wb
+
+    ps = scene.pack()
+    rows = np.asarray(ps.wide_rows)
+    res, leaf = wb.split_for_dma(rows)
+
+    kind = rows[:, 0].astype(np.int64)
+    orig_leaf = rows[kind == wb.KIND_TRIS]
+    # triangle multiset (by (tri_base + k) global ids) is preserved exactly
+    def tri_ids(table, leaf_k):
+        ids = []
+        for r in table:
+            if int(r[0]) != wb.KIND_TRIS:
+                continue
+            c, b = int(r[1]), int(r[2])
+            assert c <= leaf_k
+            ids.extend(range(b, b + c))
+        return sorted(ids)
+
+    assert tri_ids(leaf, wb.DMA_LEAF_K) == tri_ids(orig_leaf, wb.WIDE_LEAF)
+
+    # per-internal-row consistency: enc sign matches the packed kind bits,
+    # EMPTY slots are zero-volume, tri data round-trips through the merge
+    for r in res:
+        if int(r[0]) != wb.KIND_INTERNAL:
+            continue
+        kb = int(r[58])
+        for c in range(8):
+            kd = (kb >> (2 * c)) & 3
+            e = int(r[50 + c])
+            if kd == wb.KIND_TRIS:
+                assert e < 0
+                lr = leaf[-e - 1]
+                assert int(lr[0]) == wb.KIND_TRIS
+                n = int(lr[1])
+                for k in range(n):
+                    s = 8 + 9 * k
+                    assert np.any(lr[s:s + 9] != 0.0)
+            elif kd == wb.KIND_EMPTY:
+                assert e == 0
+                lo = r[2 + 6 * c:5 + 6 * c]
+                hi = r[5 + 6 * c:8 + 6 * c]
+                assert np.all(lo == hi)  # zero-volume: slab test can't pass
