@@ -404,7 +404,7 @@ def _prim_updates(row, o, d, ign, active, t):
 
 
 def _kernel_v2(rows_ref, ox, oy, oz, dx, dy, dz, t0r, ignr,
-               *refs, occlusion: bool):
+               *refs, occlusion: bool, VSTACK: bool = False):
     """Uniform-branch packet walk (v2).
 
     v1 evaluates ALL THREE node-type bodies (8 AABB slabs + sort network,
@@ -415,7 +415,16 @@ def _kernel_v2(rows_ref, ox, oy, oz, dx, dy, dz, t0r, ignr,
     grid step) and guards each body with ``pl.when(kind == ...)`` — each
     iteration pays only its own node type's VPU work.  Occlusion mode also
     drops the nearest-first sort network (any hit order works) and tracks
-    blockedness as ``po >= 0`` (a hit always records the prim id)."""
+    blockedness as ``po >= 0`` (a hit always records the prim id).
+
+    ``VSTACK`` (BUAS_V2_VEC): the stack lives in VMEM as an (8, VEC_STACK)
+    vector instead of SMEM scalars — pushes become masked iota-compare
+    vector selects and the pop a masked lane-reduce + ONE scalar extract,
+    v6's routing trick applied to the block-lockstep walk.  Motivation:
+    prof42 priced the 8 conditional dynamic-index SMEM RMW stores at
+    ~1030 ns of the 1347 ns internal iteration; the two earlier "cheaper
+    push" forms (round 4c) kept the scalar stores and lost — this one
+    removes them."""
     if occlusion:
         # occlusion-only scratch: vector stats accumulators + a blockedness
         # flag, so the loop body pays ZERO cross-lane reduces on internal
@@ -424,6 +433,8 @@ def _kernel_v2(rows_ref, ox, oy, oz, dx, dy, dz, t0r, ignr,
          nv_acc, tt_acc, blk_ref) = refs
     else:
         to, po, tro, bvo, bwo, so, stack, sp_ref = refs
+    if VSTACK:
+        lane_v = jax.lax.broadcasted_iota(jnp.int32, (BS, VEC_STACK), 1)
     o = Vec3(ox[:], oy[:], oz[:])
     d = Vec3(dx[:], dy[:], dz[:])
     t_in = t0r[:]
@@ -452,7 +463,13 @@ def _kernel_v2(rows_ref, ox, oy, oz, dx, dy, dz, t0r, ignr,
 
         def body(sp):
             sp = sp - 1
-            cur = stack[sp]
+            if VSTACK:
+                # masked lane-reduce + ONE extract (the v6 pop pattern);
+                # every sublane row carries the same broadcast value
+                cur = jnp.sum(jnp.where(lane_v == sp, stack[:], 0),
+                              axis=1, keepdims=True)[0, 0]
+            else:
+                cur = stack[sp]
             row = rows_ref[cur]
             kind = row[0].astype(jnp.int32)
             sp_ref[0] = sp
@@ -481,11 +498,21 @@ def _kernel_v2(rows_ref, ox, oy, oz, dx, dy, dz, t0r, ignr,
                 keys = _child_keys(row, o, inv_d, t, active, occlusion)
                 if occlusion:
                     # any order: push every hit child as-is
-                    for c in range(WIDE):
-                        ok = keys[c]
-                        idx = jnp.where(ok, sp_i, jnp.int32(STACK))
-                        stack[idx] = jnp.where(ok, child_base + c, stack[idx])
-                        sp_i = sp_i + ok.astype(jnp.int32)
+                    if VSTACK:
+                        stk = stack[:]
+                        for c in range(WIDE):
+                            ok = keys[c]
+                            stk = jnp.where(ok & (lane_v == sp_i),
+                                            child_base + c, stk)
+                            sp_i = sp_i + ok.astype(jnp.int32)
+                        stack[:] = stk
+                    else:
+                        for c in range(WIDE):
+                            ok = keys[c]
+                            idx = jnp.where(ok, sp_i, jnp.int32(STACK))
+                            stack[idx] = jnp.where(ok, child_base + c,
+                                                   stack[idx])
+                            sp_i = sp_i + ok.astype(jnp.int32)
                 else:
                     pays = [jnp.int32(c) for c in range(WIDE)]
                     for (i, j) in _SORT_PAIRS:
@@ -495,12 +522,21 @@ def _kernel_v2(rows_ref, ox, oy, oz, dx, dy, dz, t0r, ignr,
                         pi = jnp.where(swap, pays[j], pays[i])
                         pj = jnp.where(swap, pays[i], pays[j])
                         keys[i], keys[j], pays[i], pays[j] = ki, kj, pi, pj
-                    for j in range(WIDE - 1, -1, -1):
-                        ok = keys[j] < BIG_T * 2.0
-                        slot = child_base + pays[j]
-                        idx = jnp.where(ok, sp_i, jnp.int32(STACK))
-                        stack[idx] = jnp.where(ok, slot, stack[idx])
-                        sp_i = sp_i + ok.astype(jnp.int32)
+                    if VSTACK:
+                        stk = stack[:]
+                        for j in range(WIDE - 1, -1, -1):
+                            ok = keys[j] < BIG_T * 2.0
+                            stk = jnp.where(ok & (lane_v == sp_i),
+                                            child_base + pays[j], stk)
+                            sp_i = sp_i + ok.astype(jnp.int32)
+                        stack[:] = stk
+                    else:
+                        for j in range(WIDE - 1, -1, -1):
+                            ok = keys[j] < BIG_T * 2.0
+                            slot = child_base + pays[j]
+                            idx = jnp.where(ok, sp_i, jnp.int32(STACK))
+                            stack[idx] = jnp.where(ok, slot, stack[idx])
+                            sp_i = sp_i + ok.astype(jnp.int32)
                 sp_ref[0] = sp_i
 
             @pl.when(kind == KIND_TRIS)
@@ -550,7 +586,10 @@ def _kernel_v2(rows_ref, ox, oy, oz, dx, dy, dz, t0r, ignr,
                 sp_o = jnp.where(blk_ref[0] != 0, 0, sp_o)
             return sp_o
 
-        stack[0] = jnp.int32(0)
+        if VSTACK:
+            stack[:] = jnp.zeros((BS, VEC_STACK), jnp.int32)  # root = row 0
+        else:
+            stack[0] = jnp.int32(0)
         if occlusion:
             nv_acc[:] = jnp.zeros((BS, BL), jnp.int32)
             tt_acc[:] = jnp.zeros((BS, BL), jnp.int32)
@@ -1409,24 +1448,29 @@ def packet_traverse(rows, o: Vec3, d: Vec3, t0, ignored_prim,
     # v4's block-lockstep walk keeps coherent/natural-order waves.
     v7_env = _os.environ.get("BUAS_PACKET_V7", "auto")
     v7 = v4_tables is not None and groups == 8 and v7_env in ("1", "auto")
+    # BUAS_V2_VEC: vector-stack variant of the block-lockstep walk (see
+    # _kernel_v2 VSTACK docstring) — opt-in pending on-chip measurement
+    v2vec = (v2 and not v5 and v4_tables is None
+             and _os.environ.get("BUAS_V2_VEC", "0") == "1")
     return _packet_traverse(rows, v4_tables, o, d, t0, ignored_prim,
                             occlusion=occlusion, interpret=interpret, v2=v2,
                             v5=v5, groups=groups if v5 else 1,
                             lpi=lpi if (v5 or v7) else 1,
                             unroll=unroll if (v5 or v7) else 1,
-                            v4_lpi=v4_lpi, vec=vec, pair=pair, v7=v7)
+                            v4_lpi=v4_lpi, vec=vec, pair=pair, v7=v7,
+                            v2vec=v2vec)
 
 
 @functools.partial(jax.jit,
                    static_argnames=("occlusion", "interpret", "v2", "v5",
                                     "groups", "lpi", "unroll", "v4_lpi",
-                                    "vec", "pair", "v7"))
+                                    "vec", "pair", "v7", "v2vec"))
 def _packet_traverse(rows, v4_tables, o: Vec3, d: Vec3, t0, ignored_prim,
                      occlusion: bool = False, interpret: bool = False,
                      v2: bool = True, v5: bool = False, groups: int = 1,
                      lpi: int = 1, unroll: int = 1, v4_lpi: int = 2,
                      vec: bool = False, pair: bool = False,
-                     v7: bool = False):
+                     v7: bool = False, v2vec: bool = False):
     """Jitted body of :func:`packet_traverse`.
 
     Returns (t, prim, tri, bv, bw, node_visits, tri_tests) like
@@ -1555,15 +1599,19 @@ def _packet_traverse(rows, v4_tables, o: Vec3, d: Vec3, t0, ignored_prim,
             + [blk() for _ in range(8)],
             out_specs=[blk() for _ in range(5)]
             + [pl.BlockSpec(memory_space=pltpu.SMEM)],
-            scratch_shapes=[pltpu.SMEM((STACK + 1,), jnp.int32)]
+            scratch_shapes=[pltpu.VMEM((BS, VEC_STACK), jnp.int32)
+                            if v2vec else
+                            pltpu.SMEM((STACK + 1,), jnp.int32)]
             + ([pltpu.SMEM((1,), jnp.int32)] if v2 else [])
             + ([pltpu.VMEM((BS, BL), jnp.int32),   # nv accumulator
                 pltpu.VMEM((BS, BL), jnp.int32),   # tri-test accumulator
                 pltpu.SMEM((1,), jnp.int32)]       # all-blocked flag
                if (v2 and occlusion) else []),
         )
-        kernel = functools.partial(_kernel_v2 if v2 else _kernel,
-                                   occlusion=occlusion)
+        kernel = (functools.partial(_kernel_v2, occlusion=occlusion,
+                                    VSTACK=True) if v2vec
+                  else functools.partial(_kernel_v2 if v2 else _kernel,
+                                         occlusion=occlusion))
     outs = pl.pallas_call(
         kernel,
         out_shape=out_shapes,

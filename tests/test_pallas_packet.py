@@ -69,14 +69,16 @@ CASES = [
 ]
 
 
-@pytest.fixture(params=["v2", "v1"])
+@pytest.fixture(params=["v2", "v1", "v2v"])
 def kernel_version(request, monkeypatch):
-    """Both kernel generations stay parity-tested.  The version is a
-    jit-static argument resolved from BUAS_PACKET_V1 at trace time
-    (pallas_packet.packet_traverse), so flipping the env per test is
-    honored."""
+    """All kernel generations stay parity-tested ("v2v" = the vector-stack
+    v2 variant, BUAS_V2_VEC).  The version is a jit-static argument
+    resolved from the env at trace time (pallas_packet.packet_traverse),
+    so flipping the env per test is honored."""
     monkeypatch.setenv("BUAS_PACKET_V1",
                        "1" if request.param == "v1" else "0")
+    monkeypatch.setenv("BUAS_V2_VEC",
+                       "1" if request.param == "v2v" else "0")
     return request.param
 
 
