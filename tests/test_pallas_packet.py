@@ -20,11 +20,17 @@ from buas_pathtracer_tpu.utils.procgen import icosphere
 
 @pytest.fixture(scope="module")
 def scene():
+    # 320-tri icospheres (subdiv 2), not 1280: interpret-mode kernel time
+    # scales with walk length and this file dominated the fast suite's
+    # wall clock (round-4 verdict item 8).  The structure the parity
+    # tests exercise — two mesh-instance wide subtrees grafted into the
+    # TLAS, analytic prims, multi-level internal descent, split tables
+    # with merged leaves — is unchanged at this size.
     sc = Scene(name="packet-parity")
     grey = sc.add_diffuse_material((0.6, 0.6, 0.6), 1.2)
     red = sc.add_diffuse_material((0.8, 0.2, 0.2), 1.4)
     glass = sc.add_translucent_material((0.1, 0.05, 0.02), 1.5)
-    mesh = icosphere(subdivisions=3)  # 1280 tris
+    mesh = icosphere(subdivisions=2)  # 320 tris
     sc.add_mesh(grey, mesh, vec.translate([0, 1.2, 2.5]))
     sc.add_mesh(red, mesh, vec.translate([-2.2, 1.0, 4.0]) * vec.scale(0.8))
     sc.add_sphere(glass, 0.9, vec.translate([2.0, 1.0, 3.0]))
