@@ -28,6 +28,19 @@ import jax  # noqa: E402
 
 jax.config.update("jax_platforms", "cpu")
 
+# Persistent XLA compile cache for the suite (round-4 verdict item 8: the
+# fast suite's wall clock is dominated by re-COMPILING the same oracle and
+# kernel programs every run — batch-size experiments moved nothing).  The
+# cache survives across runs and rounds; the first run pays full compiles,
+# routine runs load executables from disk.  Kept separate from the TPU
+# bench cache (.jax_cache) so neither pollutes the other's eviction.
+if os.environ.get("BUAS_TEST_NO_CACHE") != "1":
+    _cache = os.path.join(os.path.dirname(os.path.dirname(
+        os.path.abspath(__file__))), ".jax_cache_cpu")
+    jax.config.update("jax_compilation_cache_dir", _cache)
+    jax.config.update("jax_persistent_cache_min_compile_time_secs", 1)
+    jax.config.update("jax_persistent_cache_min_entry_size_bytes", 0)
+
 import numpy as np  # noqa: E402
 import pytest  # noqa: E402
 

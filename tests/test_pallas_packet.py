@@ -68,6 +68,24 @@ def _rays(sc, n, seed=0, incoherent=False, dead_frac=0.0):
     return o, d, t0, ign
 
 
+def assert_tri_match(out, ref):
+    """Winning-triangle parity, tolerant of exact t-TIES only: a ray that
+    hits a shared mesh edge at bit-identical t may legitimately record
+    either adjacent triangle depending on visit order (the kernels and the
+    XLA oracle walk leaves in different orders).  Any tri mismatch must
+    (a) agree exactly on t and on the winning prim, and (b) be rare —
+    ties are measure-zero, so more than a handful means a real bug."""
+    t_o, t_r = np.asarray(out[0]), np.asarray(ref[0])
+    tri_o, tri_r = np.asarray(out[2]), np.asarray(ref[2])
+    np.testing.assert_array_equal(np.asarray(out[1]), np.asarray(ref[1]))
+    diff = tri_o != tri_r
+    if diff.any():
+        assert diff.sum() <= max(2, tri_o.size // 1000), (
+            f"{diff.sum()} tri mismatches of {tri_o.size}")
+        np.testing.assert_array_equal(t_o[diff], t_r[diff])
+        assert (tri_o[diff] >= 0).all() and (tri_r[diff] >= 0).all()
+
+
 CASES = [
     dict(incoherent=False, dead_frac=0.0),
     dict(incoherent=True, dead_frac=0.0),
@@ -98,8 +116,7 @@ def test_closest_hit_parity(scene, kernel_version, case):
                              occlusion=False, interpret=True)
     np.testing.assert_allclose(np.asarray(out[0]), np.asarray(ref[0]),
                                rtol=1e-5, atol=1e-5)
-    np.testing.assert_array_equal(np.asarray(out[1]), np.asarray(ref[1]))
-    np.testing.assert_array_equal(np.asarray(out[2]), np.asarray(ref[2]))
+    assert_tri_match(out, ref)
     # barycentrics are only consumed for mesh hits (tri >= 0); lanes where
     # an analytic prim finally won may carry stale don't-care values whose
     # content depends on visit order
@@ -141,8 +158,7 @@ def test_dispatch_compacted_branch_parity(scene, monkeypatch):
                                interpret=True)
     np.testing.assert_allclose(np.asarray(out[0]), np.asarray(ref[0]),
                                rtol=1e-5, atol=1e-5)
-    np.testing.assert_array_equal(np.asarray(out[1]), np.asarray(ref[1]))
-    np.testing.assert_array_equal(np.asarray(out[2]), np.asarray(ref[2]))
+    assert_tri_match(out, ref)
 
 
 @pytest.mark.parametrize("incoherent", [False, True])
@@ -165,8 +181,7 @@ def test_hybrid_route_parity(scene, monkeypatch, incoherent):
     ref = tw._traverse(ps, o, d, t0, ign, occlusion=False)
     np.testing.assert_allclose(np.asarray(out[0]), np.asarray(ref[0]),
                                rtol=1e-5, atol=1e-5)
-    np.testing.assert_array_equal(np.asarray(out[1]), np.asarray(ref[1]))
-    np.testing.assert_array_equal(np.asarray(out[2]), np.asarray(ref[2]))
+    assert_tri_match(out, ref)
 
 
 @pytest.mark.parametrize("case", CASES)
@@ -193,8 +208,7 @@ def test_v4_leaf_dma_parity(scene, monkeypatch, case, occlusion):
         return
     np.testing.assert_allclose(np.asarray(out[0]), np.asarray(ref[0]),
                                rtol=1e-5, atol=1e-5)
-    np.testing.assert_array_equal(np.asarray(out[1]), np.asarray(ref[1]))
-    np.testing.assert_array_equal(np.asarray(out[2]), np.asarray(ref[2]))
+    assert_tri_match(out, ref)
     mesh = np.asarray(ref[2]) >= 0
     np.testing.assert_allclose(np.asarray(out[3])[mesh],
                                np.asarray(ref[3])[mesh],
@@ -218,8 +232,7 @@ def test_v4_routing(scene, monkeypatch):
     ref = tw._traverse(ps, o, d, t0, ign, occlusion=False)
     np.testing.assert_allclose(np.asarray(out[0]), np.asarray(ref[0]),
                                rtol=1e-5, atol=1e-5)
-    np.testing.assert_array_equal(np.asarray(out[1]), np.asarray(ref[1]))
-    np.testing.assert_array_equal(np.asarray(out[2]), np.asarray(ref[2]))
+    assert_tri_match(out, ref)
 
 
 def test_dispatch_natural_branch_parity(scene):
@@ -313,8 +326,7 @@ def test_v5_grouped_parity(scene, monkeypatch, groups, lpi, case, occlusion):
     else:
         np.testing.assert_allclose(np.asarray(out[0]), np.asarray(ref[0]),
                                    rtol=1e-5, atol=1e-5)
-        np.testing.assert_array_equal(np.asarray(out[1]), np.asarray(ref[1]))
-        np.testing.assert_array_equal(np.asarray(out[2]), np.asarray(ref[2]))
+        assert_tri_match(out, ref)
 
 
 @pytest.mark.parametrize("occlusion", [False, True])
@@ -349,8 +361,7 @@ def test_v6_vector_state_parity(scene, monkeypatch, lpi, unroll, pair, case,
     else:
         np.testing.assert_allclose(np.asarray(out[0]), np.asarray(ref[0]),
                                    rtol=1e-5, atol=1e-5)
-        np.testing.assert_array_equal(np.asarray(out[1]), np.asarray(ref[1]))
-        np.testing.assert_array_equal(np.asarray(out[2]), np.asarray(ref[2]))
+        assert_tri_match(out, ref)
 
 
 @pytest.mark.parametrize("occlusion", [False, True])
@@ -384,8 +395,7 @@ def test_v7_grouped_leaf_dma_parity(scene, monkeypatch, lpi, unroll, case,
     else:
         np.testing.assert_allclose(np.asarray(out[0]), np.asarray(ref[0]),
                                    rtol=1e-5, atol=1e-5)
-        np.testing.assert_array_equal(np.asarray(out[1]), np.asarray(ref[1]))
-        np.testing.assert_array_equal(np.asarray(out[2]), np.asarray(ref[2]))
+        assert_tri_match(out, ref)
         mesh = np.asarray(ref[2]) >= 0
         np.testing.assert_allclose(np.asarray(out[3])[mesh],
                                    np.asarray(ref[3])[mesh],
