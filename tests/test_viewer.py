@@ -174,6 +174,10 @@ def test_per_pass_cancellation():
     orig = prog.ProgressiveRenderer._render_pass
 
     def spy(self, settings):
+        if self is not r:
+            # the module-scoped viewer fixture's render thread (if alive
+            # in this test session) must not pollute the count
+            return orig(self, settings)
         passes.append(int(settings.samples_per_pixel))
         if len(passes) == 2:  # the "UI thread" edits mid-frame
             self.new_settings = replace(self.new_settings, max_bounce_count=3)
